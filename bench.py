@@ -1,0 +1,145 @@
+"""Headline benchmark: IVFPQ search QPS + recall on SIFT1M-scale data.
+
+Mirrors the reference's protocol (BASELINE.md): d=128, 1M base vectors,
+IVF4096 x PQ64 (64-byte codes), euclidean, recall@10 vs queries/second with
+n_probe sweep. The reference's T4 numbers (its own published benchmark):
+n_probe=32 -> recall@10 0.950 at 143,092 q/s.
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+The headline metric is QPS at n_probe=32 (recall is printed alongside in
+extras and must stay at parity; baseline = 143092 q/s).
+
+Scaled-down fallback: pass --small for a 100k x 64d run (CI / CPU).
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def make_data(n_base, n_query, d, seed=0, n_centers=1000):
+    """Clustered synthetic data (SIFT-like local structure)."""
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(n_centers, d)).astype(np.float32)
+    labels = rng.integers(0, n_centers, size=n_base)
+    base = centers[labels] + 0.35 * rng.normal(size=(n_base, d)).astype(
+        np.float32)
+    qlabels = rng.integers(0, n_centers, size=n_query)
+    query = centers[qlabels] + 0.35 * rng.normal(size=(n_query, d)).astype(
+        np.float32)
+    return base.astype(np.float32), query.astype(np.float32)
+
+
+def brute_force_topk(base, query, k, chunk=1024):
+    """Ground truth via exact L2 on device."""
+    bj = jnp.asarray(base)
+    b_sq = jnp.sum(bj * bj, axis=1)
+
+    @jax.jit
+    def score(qc):
+        s = 2.0 * (qc @ bj.T) - b_sq[None, :] - jnp.sum(
+            qc * qc, axis=1, keepdims=True)
+        return jax.lax.top_k(s, k)[1]
+
+    outs = []
+    for i in range(0, len(query), chunk):
+        outs.append(np.asarray(score(jnp.asarray(query[i:i + chunk]))))
+    return np.concatenate(outs)
+
+
+def recall_at_k(pred_ids, true_idx, ids_map, k):
+    """pred_ids: [nq, k] ids; true_idx: [nq, k] base row indices."""
+    true_ids = ids_map[true_idx[:, :k]]
+    hits = 0
+    for p, t in zip(pred_ids[:, :k], true_ids):
+        hits += len(np.intersect1d(p, t))
+    return hits / (len(pred_ids) * k)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--small", action="store_true")
+    ap.add_argument("--n-probe", type=int, default=32)
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--repeats", type=int, default=5)
+    args = ap.parse_args()
+
+    from torchpq_tpu.index import IVFPQIndex
+
+    if args.small:
+        n_base, n_query, d, n_cells, m, train_n = 100_000, 1000, 64, 512, 32, 50_000
+    else:
+        n_base, n_query, d, n_cells, m, train_n = 1_000_000, 10_000, 128, 4096, 64, 100_000
+
+    print(f"[bench] data: {n_base}x{d}, queries {n_query}, "
+          f"IVF{n_cells} PQ{m}", file=sys.stderr)
+    base, query = make_data(n_base, n_query, d)
+
+    index = IVFPQIndex(d_vector=d, n_subvectors=m, n_cells=n_cells,
+                       distance="euclidean",
+                       initial_size=max(16, (n_base // n_cells) * 2))
+    index.n_probe = args.n_probe
+
+    t0 = time.perf_counter()
+    index.train(jnp.asarray(base[:train_n].T))
+    jax.effects_barrier()
+    train_s = time.perf_counter() - t0
+    print(f"[bench] train: {train_s:.2f}s", file=sys.stderr)
+
+    t0 = time.perf_counter()
+    add_chunk = 250_000
+    all_ids = []
+    for i in range(0, n_base, add_chunk):
+        all_ids.append(np.asarray(
+            index.add(jnp.asarray(base[i:i + add_chunk].T))))
+    jax.effects_barrier()
+    add_s = time.perf_counter() - t0
+    ids_map = np.concatenate(all_ids)
+    print(f"[bench] add: {add_s:.2f}s ({n_base / add_s:.0f} vec/s)",
+          file=sys.stderr)
+
+    qj = jnp.asarray(query.T)
+    # warmup + compile
+    vals, pred = index.search(qj, k=args.k)
+    jax.block_until_ready(vals)
+    t0 = time.perf_counter()
+    for _ in range(args.repeats):
+        vals, pred = index.search(qj, k=args.k)
+    jax.block_until_ready(vals)
+    search_s = (time.perf_counter() - t0) / args.repeats
+    qps = n_query / search_s
+    print(f"[bench] search: {search_s * 1e3:.2f} ms for {n_query} queries "
+          f"-> {qps:.0f} q/s", file=sys.stderr)
+
+    true_idx = brute_force_topk(base, query, args.k)
+    rec = recall_at_k(np.asarray(pred), true_idx, ids_map, args.k)
+    print(f"[bench] recall@{args.k}: {rec:.4f}", file=sys.stderr)
+
+    baseline_qps = 143092.0  # TorchPQ T4, n_probe=32 (BASELINE.md)
+    result = {
+        "metric": f"IVFPQ-{'small' if args.small else 'sift1m-class'}"
+                  f"-qps@n_probe={args.n_probe}",
+        "value": round(qps, 1),
+        "unit": "queries/s",
+        "vs_baseline": round(qps / baseline_qps, 3),
+        "extras": {
+            f"recall@{args.k}": round(rec, 4),
+            "train_s": round(train_s, 2),
+            "add_s": round(add_s, 2),
+            "n_base": n_base,
+            "n_query": n_query,
+            "baseline_qps_T4": baseline_qps,
+            "baseline_recall@10_T4": 0.950,
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

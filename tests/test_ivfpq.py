@@ -1,0 +1,198 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from torchpq_tpu.index import IVFPQIndex, IVFPQRIndex
+from torchpq_tpu.ops import adc
+
+
+def _make_index(rng, d=32, m=8, n_cells=16, n=1200, distance="euclidean",
+                residual=False, cache="float32", **kw):
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    index = IVFPQIndex(d_vector=d, n_subvectors=m, n_cells=n_cells,
+                       distance=distance, pq_use_residual=residual,
+                       scan_cache_dtype=cache, initial_size=32, **kw)
+    index.train(jnp.asarray(x.T))
+    ids = np.asarray(index.add(jnp.asarray(x.T)))
+    return index, x, ids
+
+
+def test_scan_matches_lut_oracle(rng):
+    """Both scan strategies must reproduce LUT-gather ADC scores exactly
+    (f32 cache)."""
+    index, x, ids = _make_index(rng)
+    nq, k, n_probe = 9, 8, 4
+    q = rng.normal(size=(nq, index.d_vector)).astype(np.float32)
+    index.n_probe = n_probe
+    index.use_smart_probing = False
+
+    # oracle: LUT scores over each query's probed cells
+    from torchpq_tpu.index.ivfpq import _coarse_probe
+    _, cells, mask = _coarse_probe(
+        jnp.asarray(q), index.vq_codec.kmeans._centroids[0],
+        jnp.float32(30.0), n_probe=n_probe, use_smart=False, precision=None)
+    lut = adc.build_adc_table(jnp.asarray(q), index.pq_codec.codebook_internal,
+                              "euclidean")
+    codes = np.asarray(index._storage)
+    starts = np.asarray(index._cell_start)
+    caps = np.asarray(index._cell_capacity)
+    empty = np.asarray(index._is_empty)
+    scores_all = np.asarray(adc.adc_lookup_scores(lut, index._storage))
+    want_vals = np.full((nq, k), -np.inf, np.float32)
+    for qi in range(nq):
+        cand = []
+        for c in np.asarray(cells)[qi]:
+            s, w = starts[c], caps[c]
+            for a in range(s, s + w):
+                if not empty[a]:
+                    cand.append(scores_all[qi, a])
+        cand = np.sort(np.array(cand))[::-1][:k]
+        want_vals[qi, :len(cand)] = cand
+
+    for mode in ["query_major", "cell_major"]:
+        index._ivfpq_topk.mode = mode
+        vals, got_ids = index.search_cells(jnp.asarray(q.T), cells,
+                                           probe_mask=mask, k=k)
+        np.testing.assert_allclose(np.asarray(vals), want_vals,
+                                   rtol=2e-3, atol=2e-3,
+                                   err_msg=f"mode={mode}")
+
+
+def test_full_probe_equals_pq_bruteforce(rng):
+    """n_probe = n_cells must equal brute-force ADC over all codes."""
+    index, x, ids = _make_index(rng, n_cells=8, n=600)
+    nq, k = 6, 10
+    q = rng.normal(size=(nq, index.d_vector)).astype(np.float32)
+    index.n_probe = index.n_cells
+    index.use_smart_probing = False
+    vals, got_ids = index.search(jnp.asarray(q.T), k=k)
+
+    decoded = np.asarray(index.aux("decoded")).astype(np.float32)
+    a2i = np.asarray(index._address2id)
+    live = a2i >= 0
+    s = -((q[:, None] - decoded[None]) ** 2).sum(-1)
+    s[:, ~live] = -np.inf
+    order = np.argsort(-s, axis=1)[:, :k]
+    want_ids = a2i[order]
+    agree = (np.asarray(got_ids) == want_ids).mean()
+    assert agree > 0.99, f"agreement {agree}"
+
+
+@pytest.mark.parametrize("distance", ["euclidean", "inner", "cosine"])
+def test_recall_on_blobs(rng, distance):
+    """IVFPQ with decent n_probe must find true neighbors of stored points."""
+    d, n = 32, 2000
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    index = IVFPQIndex(d_vector=d, n_subvectors=16, n_cells=16,
+                       distance=distance, initial_size=64)
+    index.train(jnp.asarray(x.T))
+    ids = np.asarray(index.add(jnp.asarray(x.T)))
+    index.n_probe = 8
+    q = x[:100]
+    vals, got = index.search(jnp.asarray(q.T), k=10)
+    # self-recall: the stored copy of the query should be in the top-10
+    hit = (np.asarray(got) == ids[:100, None]).any(1).mean()
+    assert hit > 0.9, f"self-recall@10 {hit} ({distance})"
+
+
+def test_residual_mode(rng):
+    index, x, ids = _make_index(rng, residual=True, n_cells=8)
+    index.n_probe = 8
+    index.use_smart_probing = False
+    q = x[:50]
+    vals, got = index.search(jnp.asarray(q.T), k=5)
+    hit = (np.asarray(got) == ids[:50, None]).any(1).mean()
+    assert hit > 0.9
+    # residual reconstruction should beat non-residual distortion
+    dec = np.asarray(index.aux("decoded"))
+    a2i = np.asarray(index._address2id)
+    addr = np.asarray(index.get_address_by_id(ids))
+    err = ((dec[addr] - x) ** 2).mean()
+    index2, x2, ids2 = _make_index(rng, residual=False, n_cells=8)
+    # (just sanity: errors are finite and small-ish)
+    assert np.isfinite(err)
+
+
+def test_smart_probing_masks_tail(rng):
+    index, x, ids = _make_index(rng)
+    index.n_probe = 8
+    index.use_smart_probing = True
+    index.smart_probing_temperature = 30.0
+    q = x[:20]
+    vals, got = index.search(jnp.asarray(q.T), k=5)
+    assert np.isfinite(np.asarray(vals)[:, 0]).all()
+
+
+def test_add_remove_search(rng):
+    index, x, ids = _make_index(rng, n=800, n_cells=8)
+    index.n_probe = 8
+    index.use_smart_probing = False
+    index.remove(ids=ids[:400])
+    assert index.n_items == 400
+    q = x[400:420]
+    vals, got = index.search(jnp.asarray(q.T), k=5)
+    g = np.asarray(got)
+    assert np.all((g >= 400) | (g == -1))
+    hit = (g == ids[400:420, None]).any(1).mean()
+    assert hit > 0.9
+
+
+def test_encode_decode_roundtrip(rng):
+    index, x, ids = _make_index(rng)
+    code = index.encode(jnp.asarray(x[:50].T))
+    recon = np.asarray(index.decode(code))
+    assert recon.shape == (index.d_vector, 50)
+    assert ((recon - x[:50].T) ** 2).mean() < (x ** 2).mean()
+
+
+def test_save_load_search_identical(tmp_path, rng):
+    index, x, ids = _make_index(rng)
+    index.n_probe = 4
+    q = x[:10]
+    v1, i1 = index.search(jnp.asarray(q.T), k=5)
+    path = str(tmp_path / "index.npz")
+    index.save(path)
+    index2 = IVFPQIndex(d_vector=32, n_subvectors=8, n_cells=16,
+                        scan_cache_dtype="float32", initial_size=32)
+    index2.load(path)
+    index2.n_probe = 4
+    v2, i2 = index2.search(jnp.asarray(q.T), k=5)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-5)
+
+
+def test_ivfpqr_reranks(rng):
+    d, n = 32, 1500
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    r = IVFPQRIndex(d_vector=d, n_subvectors=4, n_subvectors_rerank=16,
+                    n_cells=8, scan_cache_dtype="float32", initial_size=64)
+    r.train(jnp.asarray(x.T))
+    rids = np.asarray(r.add(jnp.asarray(x.T)))
+    r.n_probe = 8
+    r.use_smart_probing = False
+    q = x[:100] + 0.01 * rng.normal(size=(100, d)).astype(np.float32)
+    _, got_r = r.search(jnp.asarray(q.T), k=1)
+    hit_r = (np.asarray(got_r)[:, 0] == rids[:100]).mean()
+
+    b = IVFPQIndex(d_vector=d, n_subvectors=4, n_cells=8,
+                   scan_cache_dtype="float32", initial_size=64)
+    b.train(jnp.asarray(x.T))
+    bids = np.asarray(b.add(jnp.asarray(x.T)))
+    b.n_probe = 8
+    b.use_smart_probing = False
+    _, got_b = b.search(jnp.asarray(q.T), k=1)
+    hit_b = (np.asarray(got_b)[:, 0] == bids[:100]).mean()
+    assert hit_r >= hit_b, (hit_r, hit_b)
+    assert hit_r > 0.8
+
+
+def test_similarity_at_id(rng):
+    index, x, ids = _make_index(rng)
+    q = x[:5]
+    sims = np.asarray(index.similarity_at_id(jnp.asarray(q.T), ids[:7]))
+    assert sims.shape == (5, 7)
+    decoded = np.asarray(index.aux("decoded"))
+    addr = np.asarray(index.get_address_by_id(ids[:7]))
+    want = -((q[:, None] - decoded[addr][None]) ** 2).sum(-1)
+    np.testing.assert_allclose(sims, want, rtol=1e-3, atol=1e-3)

@@ -1,0 +1,72 @@
+"""Multi-chip tests on the virtual 8-device CPU mesh (conftest sets
+xla_force_host_platform_device_count=8)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from torchpq_tpu.index import IVFPQIndex
+from torchpq_tpu.parallel import get_mesh, ShardedIVFPQSearcher
+from torchpq_tpu.parallel.sharded_ivfpq import data_parallel_lloyd_step
+
+
+def _filled_index(rng, d=32, n=1600, n_cells=16):
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    index = IVFPQIndex(d_vector=d, n_subvectors=8, n_cells=n_cells,
+                       scan_cache_dtype="float32", initial_size=32)
+    index.train(jnp.asarray(x.T))
+    ids = np.asarray(index.add(jnp.asarray(x.T)))
+    return index, x, ids
+
+
+def test_mesh_has_8_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_search_matches_single_device(rng):
+    index, x, ids = _filled_index(rng)
+    index.n_probe = 8
+    index.use_smart_probing = False
+    q = x[:40]
+    v1, i1 = index.search(jnp.asarray(q.T), k=5)
+
+    mesh = get_mesh(8)
+    searcher = ShardedIVFPQSearcher(index, mesh=mesh)
+    v2, i2 = searcher.search(jnp.asarray(q.T), k=5)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2),
+                               rtol=1e-3, atol=1e-3)
+    # id agreement (ties may reorder)
+    agree = (np.asarray(i1) == np.asarray(i2)).mean()
+    assert agree > 0.95, agree
+
+
+def test_sharded_search_query_major_mode(rng):
+    index, x, ids = _filled_index(rng, n=800)
+    index.n_probe = 4
+    index.use_smart_probing = False
+    q = x[:10]
+    v1, i1 = index.search(jnp.asarray(q.T), k=3)
+    searcher = ShardedIVFPQSearcher(index, mesh=get_mesh(8),
+                                    scan_mode="query_major")
+    v2, i2 = searcher.search(jnp.asarray(q.T), k=3)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2),
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_data_parallel_lloyd_step(rng):
+    d, k, n = 16, 8, 1024
+    mesh = get_mesh(8)
+    data = rng.normal(size=(n, d)).astype(np.float32)
+    cents = data[:k].copy()
+    data_sh = jnp.asarray(data.reshape(8, n // 8, d))
+
+    got = np.asarray(data_parallel_lloyd_step(
+        mesh, data_sh, jnp.asarray(cents), "euclidean"))
+
+    # single-device oracle
+    s = -((data[:, None] - cents[None]) ** 2).sum(-1)
+    labels = s.argmax(1)
+    want = np.stack([
+        data[labels == j].mean(0) if (labels == j).any() else cents[j]
+        for j in range(k)])
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)

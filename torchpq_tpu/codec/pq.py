@@ -1,0 +1,109 @@
+"""Product-quantizer codec (reference: torchpq/codec/PQCodec.py).
+
+Trains 256-centroid codebooks per subvector with MultiKMeans (25 iterations,
+reference PQCodec.py:27-32), encodes to uint8 [m, n], decodes by codebook
+gather, and builds the per-query ADC table. Encode/decode are batched matmuls
+and gathers — both MXU/XLA-native; the reference needed a dedicated decode
+kernel (pq_decode.cu) only because of its interleaved uchar4 storage.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .base import BaseCodec
+from ..clustering import MultiKMeans
+from ..ops import adc
+from ..ops.max_sim import batched_max_sim
+from .. import util
+from ..metric import canonical_distance
+
+
+@functools.partial(jax.jit, static_argnames=("m", "dsub"))
+def _decode_nd(codes_nm, codebook, *, m, dsub):
+    """codes [n, m] uint8, codebook [m, 256, dsub] -> [n, d] f32."""
+    n = codes_nm.shape[0]
+    # gather per subvector: out[n, i, :] = codebook[i, codes[n, i], :]
+    gathered = jnp.take_along_axis(
+        codebook[None, :, :, :],
+        codes_nm.astype(jnp.int32)[:, :, None, None], axis=2)
+    return gathered.reshape(n, m * dsub)
+
+
+class PQCodec(BaseCodec):
+    def __init__(self, d_vector, n_subvectors=8, n_clusters=256,
+                 distance="euclidean", verbose=0, max_iter=25, n_redo=1,
+                 tol=1e-4, seed=0):
+        super().__init__(verbose=verbose)
+        assert d_vector % n_subvectors == 0
+        self.d_vector = d_vector
+        self.n_subvectors = n_subvectors
+        self.n_clusters = n_clusters
+        self.d_subvector = d_vector // n_subvectors
+        self.distance = canonical_distance(distance)
+        self.register_module("kmeans", MultiKMeans(
+            n_clusters=n_clusters, distance=distance, max_iter=max_iter,
+            n_redo=n_redo, tol=tol, verbose=verbose, seed=seed))
+
+    @property
+    def codebook(self):
+        """[n_subvectors, d_subvector, n_clusters] (reference PQCodec.py:37-47)."""
+        return self.kmeans.centroids if self.is_trained else None
+
+    @property
+    def codebook_internal(self):
+        """[m, n_clusters, d_subvector] row-major, for the ops layer."""
+        return self.kmeans._centroids
+
+    # -- reference-layout API ([d, n] tensors) --
+    def train(self, x):
+        """x: [d_vector, n] (reference PQCodec.py:48-60)."""
+        x = jnp.asarray(x)
+        assert x.shape[0] == self.d_vector
+        sub = x.reshape(self.n_subvectors, self.d_subvector, -1)
+        self.kmeans.fit(sub)
+        self._set_trained()
+
+    def encode(self, x):
+        """x: [d_vector, n] -> codes [n_subvectors, n] uint8
+        (reference PQCodec.py:77-93)."""
+        assert self.is_trained, "codec is not trained"
+        x = jnp.asarray(x)
+        return self.encode_nd(x.T).T
+
+    def decode(self, code):
+        """codes [n_subvectors, n] uint8 -> [d_vector, n] f32
+        (reference PQCodec.py:113-130)."""
+        assert self.is_trained, "codec is not trained"
+        return self.decode_nd(jnp.asarray(code).T).T
+
+    def precompute_adc(self, query):
+        """query [d_vector, nq] -> ADC table [m, nq, 256]
+        (reference PQCodec.py:62-75)."""
+        assert self.is_trained
+        table = adc.build_adc_table(
+            jnp.asarray(query).T.astype(jnp.float32),
+            self.codebook_internal, self.distance)
+        return jnp.swapaxes(table, 0, 1)
+
+    # -- row-major internal API used by indexes --
+    def encode_nd(self, x_nd):
+        """[n, d] -> [n, m] uint8 codes."""
+        assert self.is_trained, "codec is not trained"
+        x_nd = jnp.asarray(x_nd).astype(jnp.float32)
+        n = x_nd.shape[0]
+        sub = x_nd.reshape(n, self.n_subvectors, self.d_subvector)
+        sub = jnp.swapaxes(sub, 0, 1)  # [m, n, dsub]
+        if self.distance == "cosine":
+            # assignment on normalized subvectors, mirroring the reference's
+            # cosine MultiKMeans fit/predict (clustering/KMeans.py:307-321)
+            sub = util.normalize(sub)
+        _, labels = batched_max_sim(sub, self.codebook_internal, self.distance)
+        return labels.T.astype(jnp.uint8)  # [n, m]
+
+    def decode_nd(self, codes_nm):
+        """[n, m] uint8 -> [n, d] f32 reconstruction."""
+        assert self.is_trained, "codec is not trained"
+        return _decode_nd(jnp.asarray(codes_nm), self.codebook_internal,
+                          m=self.n_subvectors, dsub=self.d_subvector)

@@ -1,0 +1,33 @@
+"""Global configuration for torchpq_tpu.
+
+The reference exposes per-object tunables (use_tensor_core, fp16_scale_mode —
+torchpq/index/IVFPQIndex.py:98-122) to opt into low-precision tensor-core
+matmuls. The TPU analogue is matmul precision control: float32 inputs on the
+MXU can run as a single bfloat16 pass (fast, ~8 mantissa bits) or as multi-pass
+"float32-ish" accumulation. We keep one global default plus per-call overrides.
+"""
+
+import jax
+
+# Precision used for *training* math (k-means, PQ codebooks, PCA): exact.
+TRAIN_PRECISION = jax.lax.Precision.HIGHEST
+
+# Precision used for *search* scoring: fast bf16 passes by default; recall
+# impact is validated in bench (scores use f32 accumulation regardless).
+SEARCH_PRECISION = jax.lax.Precision.DEFAULT
+
+# dtype of the decoded-vector scan cache kept by IVFPQIndex.
+SCAN_CACHE_DTYPE = "bfloat16"
+
+# Default chunk sizes (elements) used to bound intermediate buffers.
+MAX_SIM_CHUNK_ELEMS = 1 << 24  # ~16M f32 elems = 64 MiB score chunks
+
+
+def set_search_precision(p):
+    global SEARCH_PRECISION
+    SEARCH_PRECISION = p
+
+
+def set_train_precision(p):
+    global TRAIN_PRECISION
+    TRAIN_PRECISION = p

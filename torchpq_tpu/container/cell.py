@@ -1,0 +1,367 @@
+"""Cell (inverted-list) dynamic store.
+
+Reference counterpart: torchpq/container/CellContainer.py — one flat buffer
+partitioned into contiguous per-cell segments (`_cell_start`, `_cell_size`,
+`_cell_capacity`, `_is_empty` bitmap, :46-80), with the add pipeline
+unique-cells -> ioa -> expand-while-needed -> write-address -> scatter
+(:313-367) and remove marking slots empty (the reference's remove guard is
+inverted, :381-383 — implemented correctly here; SURVEY.md §2.6).
+
+TPU-first replacements for the reference's CUDA helper kernels:
+* get_ioa (rank within own cell among the batch, get_ioa.cu): a sort by cell
+  plus searchsorted run-starts — O(B log B), fully jitted.
+* get_write_address (ioa-th empty slot of the cell, get_write_address_v2.cu):
+  one global prefix-sum over the is_empty bitmap + searchsorted — empty slots
+  anywhere in the cell segment are found and reused, matching the reference's
+  hole-reuse semantics without per-thread scans.
+* expand (O(storage) torch.cat splice with per-cell .item() sync, :249-311):
+  a single functional re-layout — new power-of-two per-cell capacities, new
+  starts by cumsum, one gather to move every live slot. Bounded
+  recompilation because all capacities are powers of two.
+
+Aux row stores (decoded scan cache, rerank codes, ...) share the slot address
+space and move in lockstep through add/remove/expand.
+"""
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .. import util
+from .base import BaseContainer
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4))
+def _cell_add(storage, address2id, id2address, is_empty, cell_size,
+              cell_start, data, cells, ids, valid):
+    """Scatter a batch into its cells. cells: [b] i32, valid: [b] bool."""
+    cap = storage.shape[0]
+    b = cells.shape[0]
+    n_cells = cell_start.shape[0]
+
+    # ioa: rank of each batch item within its own cell (reference get_ioa)
+    key = jnp.where(valid, cells, n_cells)
+    order = jnp.argsort(key)
+    sorted_key = key[order]
+    first = jnp.searchsorted(sorted_key, jnp.arange(n_cells), side="left")
+    pos = jnp.arange(b, dtype=jnp.int32)
+    safe = jnp.minimum(sorted_key, n_cells - 1)
+    rank_sorted = pos - first[safe].astype(jnp.int32)
+    ioa = jnp.zeros((b,), jnp.int32).at[order].set(rank_sorted)
+
+    # write address: the (ioa+1)-th empty slot at/after the cell's start
+    empty_i32 = is_empty.astype(jnp.int32)
+    inc = jnp.cumsum(empty_i32)             # empties in [0, i]
+    excl = inc - empty_i32                  # empties in [0, i)
+    start = cell_start[jnp.where(valid, cells, 0)]
+    target = excl[start] + ioa + 1
+    addr = jnp.searchsorted(inc, target, side="left").astype(jnp.int32)
+    addr = jnp.where(valid, addr, cap)      # invalid -> dropped
+
+    storage = storage.at[addr].set(data, mode="drop")
+    address2id = address2id.at[addr].set(ids, mode="drop")
+    is_empty = is_empty.at[addr].set(False, mode="drop")
+    id2address = id2address.at[
+        jnp.where(valid, ids, id2address.shape[0])].set(
+        addr, mode="drop")
+    counts = jax.ops.segment_sum(
+        valid.astype(jnp.int32), jnp.where(valid, cells, 0),
+        num_segments=n_cells)
+    cell_size = cell_size + counts
+    return storage, address2id, id2address, is_empty, cell_size, addr
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+def _cell_remove(address2id, id2address, is_empty, cell_size, cell_start,
+                 addrs, valid):
+    """Mark slots empty and unmap ids; cells keep holes for reuse."""
+    cap = is_empty.shape[0]
+    n_cells = cell_start.shape[0]
+    live = valid & ~is_empty[jnp.clip(addrs, 0, cap - 1)]
+    tgt = jnp.where(live, addrs, cap)
+    rm_ids = jnp.where(live, address2id[jnp.where(live, addrs, 0)], -1)
+    address2id = address2id.at[tgt].set(-1, mode="drop")
+    is_empty = is_empty.at[tgt].set(True, mode="drop")
+    id2address = id2address.at[
+        jnp.where(rm_ids >= 0, rm_ids, id2address.shape[0])].set(
+        -1, mode="drop")
+    # owning cell via searchsorted on the sorted cell_start array
+    cell_of = (jnp.searchsorted(cell_start, addrs, side="right") - 1)
+    counts = jax.ops.segment_sum(
+        live.astype(jnp.int32),
+        jnp.where(live, cell_of, 0).astype(jnp.int32),
+        num_segments=n_cells)
+    cell_size = cell_size - counts
+    n_removed = jnp.sum(live.astype(jnp.int32))
+    return address2id, id2address, is_empty, cell_size, n_removed
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5))
+def _relayout_gather(old_rows, old_start, old_cap_arr, new_start, new_cap_total,
+                     fill_value):
+    """Move every old slot to its position under new per-cell starts.
+
+    Returns [new_cap_total, ...] rows. For each new slot j with cell c and
+    offset o = j - new_start[c]: source = old_start[c] + o if o < old_cap[c]
+    else a fill row.
+    """
+    n_cells = old_start.shape[0]
+    j = jnp.arange(new_cap_total, dtype=jnp.int32)
+    c = (jnp.searchsorted(new_start, j, side="right") - 1).astype(jnp.int32)
+    o = j - new_start[c]
+    in_old = o < old_cap_arr[c]
+    src = jnp.where(in_old, old_start[c] + o, 0)
+    rows = old_rows[src]
+    if old_rows.ndim > 1:
+        rows = jnp.where(in_old[:, None], rows, fill_value)
+    else:
+        rows = jnp.where(in_old, rows, fill_value)
+    return rows
+
+
+class CellContainer(BaseContainer):
+    def __init__(self, code_size, n_cells, dtype="float32", device=None,
+                 initial_size=None, expand_step_size=1024,
+                 expand_mode="double", use_inverse_id_mapping=True,
+                 contiguous_size=1, verbose=0):
+        del device, contiguous_size  # CUDA-isms accepted for API parity
+        if initial_size is None:
+            initial_size = max(expand_step_size // max(n_cells, 1), 16)
+        per_cell = util.next_pow2(initial_size)
+        super().__init__(initial_size=per_cell * n_cells,
+                         expand_step_size=expand_step_size,
+                         expand_mode=expand_mode,
+                         use_inverse_id_mapping=use_inverse_id_mapping,
+                         verbose=verbose)
+        self.code_size = int(code_size)
+        self.n_cells = int(n_cells)
+        self.dtype = util.str2dtype(dtype)
+        cap = per_cell * n_cells
+        self._capacity = cap
+        self.register_state("_address2id", jnp.full((cap,), -1, jnp.int64))
+        self.register_state(
+            "_storage", jnp.zeros((cap, self.code_size), self.dtype))
+        self.register_state(
+            "_cell_start",
+            (jnp.arange(n_cells, dtype=jnp.int32) * per_cell))
+        self.register_state(
+            "_cell_size", jnp.zeros((n_cells,), jnp.int32))
+        self.register_state(
+            "_cell_capacity",
+            jnp.full((n_cells,), per_cell, jnp.int32))
+        self.register_state("_is_empty", jnp.ones((cap,), bool))
+        self._aux = {}
+        # host shadows for static-shape decisions
+        self._cell_size_np = np.zeros(n_cells, np.int64)
+        self._cell_capacity_np = np.full(n_cells, per_cell, np.int64)
+
+    # -- properties --
+    @property
+    def n_items(self):
+        return self._n_items
+
+    @property
+    def max_cell_capacity(self):
+        """Static bound on any cell's capacity — the scan window S_max."""
+        return int(self._cell_capacity_np.max())
+
+    # -- aux stores --
+    def add_aux_store(self, name, n_cols, dtype):
+        self._aux[name] = (int(n_cols), util.str2dtype(dtype))
+        self.register_state(
+            "_aux_" + name,
+            jnp.zeros((self._capacity, int(n_cols)), util.str2dtype(dtype)))
+
+    def aux(self, name):
+        return getattr(self, "_aux_" + name)
+
+    # -- address helpers --
+    def get_cell_by_address(self, address):
+        """address [n] -> owning cell [n] (-1 if out of range); reference
+        CellContainer.get_cell_by_address (:108-116)."""
+        address = jnp.asarray(address)
+        valid = (address >= 0) & (address < self._capacity)
+        c = (jnp.searchsorted(self._cell_start,
+                              jnp.where(valid, address, 0),
+                              side="right") - 1).astype(jnp.int32)
+        return jnp.where(valid, c, -1)
+
+    def get_data_by_address(self, address):
+        """[n] -> [code_size, n] reference layout; zeros for empty/invalid."""
+        address = jnp.asarray(address)
+        valid = (address >= 0) & (address < self._capacity)
+        safe = jnp.where(valid, address, 0)
+        valid = valid & ~self._is_empty[safe]
+        rows = self._storage[safe]
+        rows = jnp.where(valid[:, None], rows, 0)
+        return rows.T
+
+    def set_data_by_address(self, data, address):
+        address = jnp.asarray(address)
+        valid = (address >= 0) & (address < self._capacity)
+        tgt = jnp.where(valid, address, self._capacity)
+        self.register_state(
+            "_storage",
+            self._storage.at[tgt].set(
+                jnp.asarray(data).T.astype(self.dtype), mode="drop"))
+
+    def get_data_by_id(self, ids):
+        return self.get_data_by_address(self.get_address_by_id(ids))
+
+    # -- growth --
+    def expand(self, cells=None, required=None):
+        """Re-layout storage with doubled capacities for the given cells.
+
+        `required`: optional per-cell minimum sizes (host ints). Unlike the
+        reference's per-cell torch.cat splice (CellContainer.py:249-311,
+        O(storage) per cell with host syncs), this is one functional gather
+        over the whole store, amortized by power-of-two growth.
+        """
+        new_caps = self._cell_capacity_np.copy()
+        if required is not None:
+            for c, req in required.items():
+                new_caps[c] = max(util.next_pow2(int(req)), new_caps[c])
+        elif cells is not None:
+            for c in np.unique(np.asarray(cells)):
+                new_caps[c] = new_caps[c] * 2
+        else:
+            new_caps = new_caps * 2
+        self._relayout(new_caps)
+
+    def _relayout(self, new_caps):
+        new_caps = np.asarray(new_caps, np.int64)
+        new_start_np = np.zeros_like(new_caps)
+        np.cumsum(new_caps[:-1], out=new_start_np[1:])
+        new_total = int(new_caps.sum())
+        old_start = self._cell_start
+        old_caps = self._cell_capacity
+        new_start = jnp.asarray(new_start_np, jnp.int32)
+
+        self.register_state("_storage", _relayout_gather(
+            self._storage, old_start, old_caps, new_start, new_total, 0))
+        self.register_state("_address2id", _relayout_gather(
+            self._address2id, old_start, old_caps, new_start, new_total, -1))
+        self.register_state("_is_empty", _relayout_gather(
+            self._is_empty, old_start, old_caps, new_start, new_total, True))
+        for name in self._aux:
+            self.register_state("_aux_" + name, _relayout_gather(
+                self.aux(name), old_start, old_caps, new_start, new_total, 0))
+        self.register_state("_cell_start", new_start)
+        self.register_state("_cell_capacity",
+                            jnp.asarray(new_caps, jnp.int32))
+        self._cell_capacity_np = new_caps
+        self._capacity = new_total
+        # rebuild inverse map (addresses moved wholesale)
+        self.create_inverse_id_mapping()
+        self.print_message(
+            f"relayout: capacity {new_total} "
+            f"(max cell {int(new_caps.max())})", 1)
+
+    # -- add / remove (reference CellContainer.py:313-367 / :369-393) --
+    def add(self, data, cells, ids=None, return_address=False, aux_rows=None):
+        """data: [code_size, n] reference layout; cells: [n] cell labels."""
+        data = jnp.asarray(data)
+        assert data.shape[0] == self.code_size
+        n = int(data.shape[1])
+        cells_np = np.asarray(cells).astype(np.int64)
+        ids_np = self._prepare_ids(ids, n)
+        self._grow_id_map()
+
+        counts = np.bincount(cells_np, minlength=self.n_cells)
+        need = self._cell_size_np + counts
+        over = need > self._cell_capacity_np
+        if over.any():
+            self.expand(required={
+                int(c): int(need[c]) for c in np.nonzero(over)[0]})
+
+        b = util.next_pow2(max(n, 1))
+        rows = jnp.zeros((b, self.code_size), self.dtype).at[:n].set(
+            data.T.astype(self.dtype))
+        cellsj = jnp.zeros((b,), jnp.int32).at[:n].set(
+            jnp.asarray(cells_np, dtype=jnp.int32))
+        idsj = jnp.zeros((b,), jnp.int64).at[:n].set(jnp.asarray(ids_np))
+        valid = jnp.arange(b) < n
+        st, a2i, i2a, emp, csz, addr = _cell_add(
+            self._storage, self._address2id, self._id2address,
+            self._is_empty, self._cell_size, self._cell_start,
+            rows, cellsj, idsj, valid)
+        self.register_state("_storage", st)
+        self.register_state("_address2id", a2i)
+        self.register_state("_id2address", i2a)
+        self.register_state("_is_empty", emp)
+        self.register_state("_cell_size", csz)
+        if aux_rows:
+            for name, arr in aux_rows.items():
+                cols, dt = self._aux[name]
+                pad = jnp.zeros((b, cols), dt).at[:n].set(
+                    jnp.asarray(arr).astype(dt))
+                self.register_state(
+                    "_aux_" + name,
+                    self.aux(name).at[jnp.where(valid, addr, self._capacity)]
+                    .set(pad, mode="drop"))
+        self._n_items += n
+        self._cell_size_np += counts
+        if return_address:
+            return jnp.asarray(ids_np), addr[:n]
+        return jnp.asarray(ids_np)
+
+    def remove(self, ids=None, address=None):
+        """Remove by ids or addresses; returns count actually removed.
+
+        The reference's CellContainer.remove is a no-op in the normal case
+        due to an inverted guard (:381-383); these are the semantics its
+        tests describe (SURVEY.md §4)."""
+        assert (ids is None) != (address is None), \
+            "provide exactly one of ids / address"
+        if address is None:
+            address = self.get_address_by_id(jnp.asarray(ids))
+        address = np.unique(np.asarray(address))
+        address = address[(address >= 0) & (address < self._capacity)]
+        r = len(address)
+        if r == 0:
+            return 0
+        # host shadow of per-cell removal counts (only live slots count)
+        emp_np = np.asarray(self._is_empty)
+        live = ~emp_np[address]
+        address = address[live]
+        r = len(address)
+        if r == 0:
+            return 0
+        cell_of = np.searchsorted(
+            np.asarray(self._cell_start), address, side="right") - 1
+        self._cell_size_np -= np.bincount(cell_of, minlength=self.n_cells)
+
+        b = util.next_pow2(r)
+        addrs = jnp.full((b,), 0, jnp.int32).at[:r].set(
+            jnp.asarray(address, dtype=jnp.int32))
+        valid = jnp.arange(b) < r
+        a2i, i2a, emp, csz, n_removed = _cell_remove(
+            self._address2id, self._id2address, self._is_empty,
+            self._cell_size, self._cell_start, addrs, valid)
+        self.register_state("_address2id", a2i)
+        self.register_state("_id2address", i2a)
+        self.register_state("_is_empty", emp)
+        self.register_state("_cell_size", csz)
+        self._n_items -= r
+        return r
+
+    def empty(self):
+        """Drop all items, keep layout (reference CellContainer.empty)."""
+        self.register_state("_address2id",
+                            jnp.full((self._capacity,), -1, jnp.int64))
+        self.register_state("_id2address",
+                            jnp.full((self._id_capacity,), -1, jnp.int32))
+        self.register_state("_is_empty", jnp.ones((self._capacity,), bool))
+        self.register_state("_cell_size",
+                            jnp.zeros((self.n_cells,), jnp.int32))
+        self._n_items = 0
+        self._max_id = 0
+        self._cell_size_np[:] = 0
+
+    def _after_load(self):
+        super()._after_load()
+        self._cell_size_np = np.asarray(self._cell_size, dtype=np.int64)
+        self._cell_capacity_np = np.asarray(self._cell_capacity,
+                                            dtype=np.int64)

@@ -1,0 +1,38 @@
+"""IVFPQ scan facade (reference counterpart: torchpq/fn/IVFPQTopk.py).
+
+The reference facade owns tpb-256/512/1024 instances of the fused CUDA scan
+kernel and dispatches on k buckets (fn/IVFPQTopk.py:15-228). Here the
+underlying machines are the two XLA scan strategies in ops/adc.py; dispatch is
+on query-batch size (query-major gather scan for small batches, cell-major
+grouped-matmul scan for throughput batches) with explicit overrides.
+"""
+
+from ..ops import adc
+
+
+class IVFPQTopk:
+    def __init__(self, n_cells, mode="auto", batch_threshold=256,
+                 p_tile=128, approx=False):
+        assert mode in ("auto", "query_major", "cell_major")
+        self.n_cells = n_cells
+        self.mode = mode
+        self.batch_threshold = batch_threshold
+        self.p_tile = p_tile
+        self.approx = approx
+
+    def topk(self, query, cells, probe_mask, decoded, norms, is_empty,
+             cell_start, cell_capacity, *, k, distance, s_max):
+        """Returns (values [nq, k] f32, addresses [nq, k] i32; -1 padding)."""
+        nq = query.shape[0]
+        mode = self.mode
+        if mode == "auto":
+            mode = "query_major" if nq < self.batch_threshold else "cell_major"
+        if mode == "query_major":
+            return adc.scan_query_major(
+                query, cells, probe_mask, decoded, norms, is_empty,
+                cell_start, cell_capacity, k=k, distance=distance,
+                s_max=s_max, approx=self.approx)
+        return adc.scan_cell_major(
+            query, cells, probe_mask, decoded, norms, is_empty,
+            cell_start, cell_capacity, k=k, distance=distance, s_max=s_max,
+            n_cells=self.n_cells, p_tile=self.p_tile, approx=self.approx)

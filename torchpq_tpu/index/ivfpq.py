@@ -1,0 +1,294 @@
+"""IVFPQ index — the main user-facing ANN index.
+
+Reference counterpart: torchpq/index/IVFPQIndex.py (subclass of CellContainer
+holding a VQ coarse codec, a PQ codec, and the fused scan; search call stack
+in SURVEY.md §3.3).
+
+TPU-first redesign of the scan: alongside the canonical uint8 codes this index
+maintains a bf16 *decoded cache* (PQ reconstruction, including the cell
+centroid when pq_use_residual) plus per-slot squared norms as aux row stores.
+ADC scoring then IS an MXU matmul against the cache — identical scores to
+LUT-based ADC (see ops/adc.py docstring) with none of the gathers. Residual
+PQ needs no special kernels (the reference has three CUDA variants,
+ivfpq_topk.cu:974-1104): the cache simply stores centroid + residual
+reconstruction, so `search` is one code path for both modes. The reference's
+`use_precomputed` part1/part2 tables (IVFPQIndex.py:160-170) are therefore
+subsumed by the cache; the flag is accepted for API parity.
+
+Reference tunables kept: n_probe, use_smart_probing + temperature (same
+entropy math, IVFPQIndex.py:499-512), use_cublas / use_tensor_core /
+fp16_scale_mode (precision knobs; tensor-core maps to bf16 matmul precision).
+"""
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .. import config
+from .. import util
+from ..metric import canonical_distance, negative_squared_l2_distance
+from ..codec import PQCodec, VQCodec
+from ..container import CellContainer
+from ..fn.ivfpq_topk import IVFPQTopk
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_probe", "use_smart", "precision"))
+def _coarse_probe(query, coarse_codebook, temperature, *, n_probe, use_smart,
+                  precision):
+    """Coarse scoring + cell selection + smart-probing mask.
+
+    Mirrors reference search (IVFPQIndex.py:483-512): coarse scores are always
+    negative squared L2 against the VQ codebook; smart probing computes
+    p = softmax(-sqrt|sims| / T) and keeps ceil(normalized_entropy * n_probe)
+    cells per query (as a mask — max_n_probe stays static).
+    """
+    sims = negative_squared_l2_distance(query, coarse_codebook,
+                                        precision=precision)
+    topk_sims, cells = jax.lax.top_k(sims, n_probe)
+    if use_smart and n_probe > 1:
+        p = jax.nn.softmax(-jnp.sqrt(jnp.abs(topk_sims)) / temperature,
+                           axis=-1)
+        log2p = jnp.log2(jnp.maximum(p, 1e-30))
+        normalized_entropy = -jnp.sum(
+            p * log2p / jnp.log2(float(n_probe)), axis=-1)
+        n_probe_list = jnp.ceil(
+            normalized_entropy * n_probe).astype(jnp.int32)
+        n_probe_list = jnp.clip(n_probe_list, 1, n_probe)
+        mask = jnp.arange(n_probe)[None, :] < n_probe_list[:, None]
+    else:
+        mask = jnp.ones(cells.shape, bool)
+    return topk_sims, cells.astype(jnp.int32), mask
+
+
+class IVFPQIndex(CellContainer):
+    def __init__(self, d_vector, n_subvectors=8, n_cells=128,
+                 initial_size=None, expand_step_size=128,
+                 expand_mode="double", distance="euclidean", device=None,
+                 pq_use_residual=False, verbose=0,
+                 scan_cache_dtype=None, scan_mode="auto", seed=0):
+        assert d_vector % n_subvectors == 0
+        if initial_size is None:
+            initial_size = expand_step_size
+        super().__init__(
+            code_size=n_subvectors, n_cells=n_cells, dtype="uint8",
+            device=device, initial_size=initial_size,
+            expand_step_size=expand_step_size, expand_mode=expand_mode,
+            use_inverse_id_mapping=True, contiguous_size=4, verbose=verbose)
+        self.d_vector = d_vector
+        self.n_subvectors = n_subvectors
+        self.d_subvector = d_vector // n_subvectors
+        self.distance = canonical_distance(distance)
+        self.pq_use_residual = pq_use_residual
+        self.n_probe = 1
+        self._use_precomputed = pq_use_residual  # parity flag; cache subsumes it
+        self._use_cublas = True
+        self._use_smart_probing = True
+        self._smart_probing_temperature = 30.0
+        self._use_tensor_core = True
+        self._fp16_scale_mode = "a"
+
+        cache_dtype = scan_cache_dtype or config.SCAN_CACHE_DTYPE
+        self.add_aux_store("decoded", d_vector, cache_dtype)
+        self.add_aux_store("norm", 1, "float32")
+
+        # reference codec hyperparameters (IVFPQIndex.py:63-79)
+        self.register_module("vq_codec", VQCodec(
+            n_clusters=n_cells, n_redo=1, max_iter=15, tol=1e-4,
+            distance="euclidean", init_mode="random", verbose=verbose,
+            seed=seed))
+        self.register_module("pq_codec", PQCodec(
+            d_vector=d_vector, n_subvectors=n_subvectors, n_clusters=256,
+            distance=distance, verbose=verbose, seed=seed))
+        self._ivfpq_topk = IVFPQTopk(n_cells=n_cells, mode=scan_mode)
+
+    # ---- tunable properties (reference IVFPQIndex.py:89-232) ----
+    @property
+    def use_cublas(self):
+        return self._use_cublas
+
+    @use_cublas.setter
+    def use_cublas(self, value):
+        self._use_cublas = bool(value)
+
+    @property
+    def use_tensor_core(self):
+        return self._use_tensor_core
+
+    @use_tensor_core.setter
+    def use_tensor_core(self, value):
+        self._use_tensor_core = bool(value)
+
+    @property
+    def fp16_scale_mode(self):
+        return self._fp16_scale_mode
+
+    @fp16_scale_mode.setter
+    def fp16_scale_mode(self, value):
+        assert value in ("a", "b", "both", "none")
+        self._fp16_scale_mode = value
+
+    @property
+    def use_smart_probing(self):
+        return self._use_smart_probing
+
+    @use_smart_probing.setter
+    def use_smart_probing(self, value):
+        self._use_smart_probing = bool(value)
+
+    @property
+    def smart_probing_temperature(self):
+        return self._smart_probing_temperature
+
+    @smart_probing_temperature.setter
+    def smart_probing_temperature(self, value):
+        assert value > 0
+        self._smart_probing_temperature = float(value)
+
+    @property
+    def use_precomputed(self):
+        return self._use_precomputed
+
+    @use_precomputed.setter
+    def use_precomputed(self, value):
+        self._use_precomputed = bool(value)
+
+    @property
+    def is_trained(self):
+        return self.vq_codec.is_trained and self.pq_codec.is_trained
+
+    # codec hyperparameter pass-throughs (reference IVFPQIndex.py:172-232)
+    @property
+    def pq_max_iter(self):
+        return self.pq_codec.kmeans.max_iter
+
+    @pq_max_iter.setter
+    def pq_max_iter(self, v):
+        self.pq_codec.kmeans.max_iter = int(v)
+
+    @property
+    def vq_max_iter(self):
+        return self.vq_codec.kmeans.max_iter
+
+    @vq_max_iter.setter
+    def vq_max_iter(self, v):
+        self.vq_codec.kmeans.max_iter = int(v)
+
+    # ---- training (reference IVFPQIndex.py:234-260) ----
+    def train(self, x, force_retrain=False):
+        if self.is_trained and not force_retrain:
+            self.print_message("index is already trained", 1)
+            return
+        x = jnp.asarray(x).astype(jnp.float32)
+        assert x.shape[0] == self.d_vector
+        if self.distance == "cosine":
+            x = util.normalize(x, axis=0)
+        self.print_message("training VQ codec...", 1)
+        self.vq_codec.train(x)
+        self.print_message("training PQ codec...", 1)
+        if self.pq_use_residual:
+            code = self.vq_codec.encode(x)
+            recon = self.vq_codec.decode(code)
+            self.pq_codec.train(x - recon)
+        else:
+            self.pq_codec.train(x)
+        self.print_message("index trained successfully", 1)
+
+    # ---- codec exposure (reference IVFPQIndex.py:262-314) ----
+    def encode(self, x):
+        x = jnp.asarray(x).astype(jnp.float32)
+        assert x.shape[0] == self.d_vector
+        if self.distance == "cosine":
+            x = util.normalize(x, axis=0)
+        if self.pq_use_residual:
+            vq_code = self.vq_codec.encode(x)
+            recon = self.vq_codec.decode(vq_code)
+            pq_code = self.pq_codec.encode(x - recon)
+            return pq_code, vq_code
+        return self.pq_codec.encode(x)
+
+    def decode(self, x):
+        if self.pq_use_residual:
+            pq_code, vq_code = x
+            return self.vq_codec.decode(vq_code) + self.pq_codec.decode(pq_code)
+        return self.pq_codec.decode(x)
+
+    # ---- ingestion (reference IVFPQIndex.py:316-364) ----
+    def add(self, x, ids=None, return_address=False):
+        x = jnp.asarray(x).astype(jnp.float32)
+        assert x.shape[0] == self.d_vector
+        assert self.is_trained, "train the index first"
+        if self.distance == "cosine":
+            x = util.normalize(x, axis=0)
+        x_nd = x.T
+        cells = self.vq_codec.encode(x)  # coarse assignment [n]
+        if self.pq_use_residual:
+            recon = self.vq_codec.decode(cells).T  # [n, d]
+            codes_nm = self.pq_codec.encode_nd(x_nd - recon)
+            decoded = recon + self.pq_codec.decode_nd(codes_nm)
+        else:
+            codes_nm = self.pq_codec.encode_nd(x_nd)
+            decoded = self.pq_codec.decode_nd(codes_nm)
+        norms = jnp.sum(jnp.square(decoded), axis=-1, keepdims=True)
+        return super().add(
+            codes_nm.T, cells, ids=ids, return_address=return_address,
+            aux_rows={"decoded": decoded, "norm": norms})
+
+    # ---- search (reference IVFPQIndex.py:407-524) ----
+    def search_cells(self, x, cells, probe_mask=None, k=1,
+                     return_address=False):
+        """Scan explicit cells per query. x: [d_vector, nq];
+        cells: [nq, n_probe] (distinct per row)."""
+        q = jnp.asarray(x).T.astype(jnp.float32)
+        cells = jnp.asarray(cells).astype(jnp.int32)
+        if probe_mask is None:
+            probe_mask = jnp.ones(cells.shape, bool)
+        vals, addr = self._ivfpq_topk.topk(
+            q, cells, probe_mask,
+            self.aux("decoded"), self.aux("norm")[:, 0], self._is_empty,
+            self._cell_start, self._cell_capacity,
+            k=int(k), distance=self.distance, s_max=self.max_cell_capacity)
+        ids = self.get_id_by_address(addr)
+        ids = jnp.where(addr >= 0, ids, -1)
+        if return_address:
+            return vals, ids, addr
+        return vals, ids
+
+    def search(self, x, k=1, return_address=False):
+        """x: [d_vector, nq] -> (values [nq, k], ids [nq, k])."""
+        x = jnp.asarray(x).astype(jnp.float32)
+        assert x.shape[0] == self.d_vector
+        if self.distance == "cosine":
+            x = util.normalize(x, axis=0)
+        q = x.T
+        n_probe = min(self.n_probe, self.n_cells)
+        precision = (config.SEARCH_PRECISION if self._use_tensor_core
+                     else jax.lax.Precision.HIGHEST)
+        coarse_codebook = self.vq_codec.kmeans._centroids[0]  # [n_cells, d]
+        _, cells, mask = _coarse_probe(
+            q, coarse_codebook, jnp.float32(self._smart_probing_temperature),
+            n_probe=n_probe, use_smart=self._use_smart_probing,
+            precision=precision)
+        return self.search_cells(x, cells, probe_mask=mask, k=k,
+                                 return_address=return_address)
+
+    # ---- rescoring extras (reference legacy/IVFPQ.py:253-311) ----
+    def similarity_at_address(self, x, address):
+        """Similarity of each query against the stored vector at `address`
+        (v1-API capability the v2 reference dropped; kept here)."""
+        q = jnp.asarray(x).T.astype(jnp.float32)
+        address = jnp.asarray(address)
+        valid = (address >= 0) & (address < self._capacity)
+        safe = jnp.where(valid, address, 0)
+        valid = valid & ~self._is_empty[safe]
+        y = self.aux("decoded")[safe].astype(jnp.float32)
+        y_sq = self.aux("norm")[safe, 0]
+        from ..ops.adc import _block_scores
+        sims = _block_scores(q[None], y[None], y_sq[None], self.distance)[0]
+        return jnp.where(valid[None, :], sims, -jnp.inf)
+
+    def similarity_at_id(self, x, ids):
+        return self.similarity_at_address(
+            x, self.get_address_by_id(jnp.asarray(ids)))

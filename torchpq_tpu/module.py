@@ -1,0 +1,70 @@
+"""Stateful-shell base class (reference counterpart: torchpq/CustomModule.py).
+
+The reference makes every stateful object a torch.nn.Module so registered
+buffers give save/load for free (README.md:90-97), with a shape-tolerant
+load_state_dict (CustomModule.py:14-23). Here the equivalent is: each class
+keeps its array state in named attributes registered via `register_state`;
+`state_dict()` returns a flat dict of numpy arrays (plus python scalars), and
+`load_state_dict()` restores them *replacing* shapes wholesale — the "state is
+data, shape may differ on load" property the reference relies on.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+
+class StateModule:
+    def __init__(self, verbose=0):
+        self.verbose = verbose
+        self._state_keys = []
+        self._submodules = {}
+
+    # -- verbosity (reference CustomModule.print_message, :8-12) --
+    def print_message(self, message, level=1):
+        if getattr(self, "verbose", 0) >= level:
+            print(f"[{type(self).__name__}] {message}")
+
+    # -- state registry --
+    def register_state(self, name, value):
+        if name not in self._state_keys:
+            self._state_keys.append(name)
+        setattr(self, name, value)
+
+    def register_module(self, name, module):
+        self._submodules[name] = module
+        setattr(self, name, module)
+
+    def state_dict(self, prefix=""):
+        out = {}
+        for k in self._state_keys:
+            v = getattr(self, k)
+            if v is None:
+                continue
+            out[prefix + k] = np.asarray(v) if hasattr(v, "shape") else v
+        for name, mod in self._submodules.items():
+            out.update(mod.state_dict(prefix=prefix + name + "."))
+        return out
+
+    def load_state_dict(self, state, prefix=""):
+        for k in self._state_keys:
+            key = prefix + k
+            if key in state:
+                v = state[key]
+                if isinstance(v, np.ndarray) and v.ndim > 0:
+                    v = jnp.asarray(v)
+                elif isinstance(v, np.ndarray):
+                    v = v.item()
+                setattr(self, k, v)
+        for name, mod in self._submodules.items():
+            mod.load_state_dict(state, prefix=prefix + name + ".")
+        self._after_load()
+
+    def _after_load(self):
+        """Hook for derived classes to rebuild derived/python-side state."""
+
+    def save(self, path):
+        np.savez(path, **{k: np.asarray(v) for k, v in self.state_dict().items()})
+
+    def load(self, path):
+        with np.load(path, allow_pickle=False) as f:
+            self.load_state_dict({k: f[k] for k in f.files})

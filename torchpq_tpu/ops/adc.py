@@ -1,0 +1,338 @@
+"""ADC (asymmetric distance computation) scoring and IVF scan strategies.
+
+Reference counterpart: the fused CUDA scan kernels
+(torchpq/kernels/cuda/ivfpq_topk.cu — one thread-block per query, per-query
+[m, 256] LUT in shared memory, uchar4 code loads, register-stack streaming
+top-k) and their wrappers (torchpq/fn/IVFPQTopk.py).
+
+TPU-first redesign
+------------------
+The key identity: with LUT[q, i, c] = sim(q_i, B[i, c]) per subvector, the ADC
+score of code j is
+
+    score[q, j] = sum_i LUT[q, i, code[j, i]]
+                = sim(q, decode(code_j))          (exactly, for inner/cosine,
+                                                   and for euclidean via
+                                                   2<q,y> - |y|^2 - |q|^2)
+
+i.e. LUT-gather ADC *is* an inner product against the PQ-reconstructed vector.
+Gathers are the weakest operation on a TPU while matmuls are its whole reason
+to exist, so the flagship scan keeps a bf16 `decoded` cache (+ f32 norms) of
+every stored code and scores candidates with MXU matmuls. Recall is bit-for-bit
+the PQ recall of the reference (scores agree to fp tolerance; tests verify
+against `adc_lookup_scores`, the gather oracle below).
+
+Two scan strategies over the IVF cells (cells live contiguously in one flat
+buffer, `cell_start`/`cell_capacity` per cell, like the reference's
+CellContainer storage, torchpq/container/CellContainer.py:46-80):
+
+* `scan_query_major` — gathers each query's probed candidates and scores them.
+  Gather-bandwidth bound (~candidate bytes per query); best for small batches.
+* `scan_cell_major` — inverts the probe lists: probed (query, cell) pairs are
+  sorted by cell and packed into fixed-size blocks of up to P_TILE probers of
+  one cell; each block is one [P_TILE, d] x [d, S_max] MXU matmul against the
+  cell's candidate window. Every cell's candidates are fetched once per query
+  batch instead of once per prober, so HBM traffic amortizes over the batch.
+  This is the same "group the ragged work by expert" trick as MoE dispatch.
+
+Both return (values [nq, k] f32, addresses [nq, k] int32, address -1 on
+padding), and both handle empty slots by masking to -inf exactly like the
+reference kernel's is_empty check (ivfpq_topk.cu:874-884).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .. import config
+from .. import util
+from ..metric import canonical_distance
+
+
+# ---------------------------------------------------------------------------
+# LUT construction + gather oracle (the reference's precompute_adc + scan)
+# ---------------------------------------------------------------------------
+
+def build_adc_table(query, codebook, distance, precision=None):
+    """Per-subvector query<->centroid similarity table.
+
+    query: [nq, d] (already preprocessed: normalized if cosine)
+    codebook: [m, 256, dsub]
+    returns LUT [nq, m, 256] float32.
+
+    Reference counterpart: PQCodec.precompute_adc (codec/PQCodec.py:62-75),
+    which emits [m, nq, 256]; we keep queries leading internally.
+    """
+    distance = canonical_distance(distance)
+    m, n_clusters, dsub = codebook.shape
+    nq = query.shape[0]
+    q = query.reshape(nq, m, dsub)
+    if distance in ("inner", "cosine"):
+        # [nq, m, dsub] x [m, 256, dsub] -> [nq, m, 256]
+        return jnp.einsum(
+            "qmd,mcd->qmc", q, codebook,
+            precision=precision or config.SEARCH_PRECISION,
+            preferred_element_type=jnp.float32)
+    if distance == "euclidean":
+        ab = jnp.einsum(
+            "qmd,mcd->qmc", q, codebook,
+            precision=precision or config.SEARCH_PRECISION,
+            preferred_element_type=jnp.float32)
+        q_sq = jnp.sum(jnp.square(q), axis=-1)[:, :, None]
+        c_sq = jnp.sum(jnp.square(codebook), axis=-1)[None, :, :]
+        return 2.0 * ab - q_sq - c_sq
+    if distance == "manhattan":
+        # no matmul form; broadcast per subvector (small: nq x m x 256 x dsub)
+        return -jnp.sum(
+            jnp.abs(q[:, :, None, :] - codebook[None, :, :, :]), axis=-1)
+    raise AssertionError(distance)
+
+
+def adc_lookup_scores(lut, codes, chunk=4096):
+    """Gather-oracle ADC: score[q, j] = sum_i lut[q, i, codes[j, i]].
+
+    lut: [nq, m, 256] f32; codes: [n, m] uint8 -> [nq, n] f32.
+    This is the literal translation of the reference scan's inner loop
+    (ivfpq_topk.cu:650-679) and serves as the correctness oracle for the
+    matmul-based paths. Chunked over n to bound the [nq, chunk, m] gather.
+    """
+    nq, m, k256 = lut.shape
+    n = codes.shape[0]
+    lut_flat = lut.reshape(nq, m * k256)
+    offsets = (jnp.arange(m, dtype=jnp.int32) * k256)[None, :]
+
+    def one_chunk(codes_chunk):
+        idx = codes_chunk.astype(jnp.int32) + offsets  # [c, m]
+        gathered = jnp.take(lut_flat, idx.reshape(-1), axis=1)
+        return jnp.sum(gathered.reshape(nq, -1, m), axis=-1)  # [nq, c]
+
+    if n <= chunk:
+        return one_chunk(codes)
+    codes_pad, _ = util.pad_rows(codes, chunk)
+    blocks = codes_pad.reshape(-1, chunk, m)
+    out = jax.lax.map(one_chunk, blocks)  # [nb, nq, chunk]
+    return jnp.moveaxis(out, 0, 1).reshape(nq, -1)[:, :n]
+
+
+# ---------------------------------------------------------------------------
+# Decoded-cache scoring primitives
+# ---------------------------------------------------------------------------
+
+def _block_scores(qvecs, cand, cand_norms, distance, q_sq=None,
+                  precision=None):
+    """Score a batch of query tiles against candidate tiles.
+
+    qvecs: [B, P, d] f32, cand: [B, S, d] (bf16 ok), cand_norms: [B, S] f32.
+    Returns [B, P, S] f32 similarity.
+    """
+    precision = precision or config.SEARCH_PRECISION
+    # bf16 cache: cast the query down (MXU-native, f32 accumulation) instead
+    # of materializing an f32 copy of the much larger candidate block.
+    if cand.dtype == jnp.bfloat16 and distance != "manhattan":
+        qvecs_mm = qvecs.astype(jnp.bfloat16)
+        cand_mm = cand
+    else:
+        qvecs_mm = qvecs
+        cand_mm = cand.astype(qvecs.dtype)
+    if distance in ("inner", "cosine"):
+        return jnp.einsum("bpd,bsd->bps", qvecs_mm, cand_mm,
+                          precision=precision,
+                          preferred_element_type=jnp.float32)
+    if distance == "euclidean":
+        ab = jnp.einsum("bpd,bsd->bps", qvecs_mm, cand_mm,
+                        precision=precision,
+                        preferred_element_type=jnp.float32)
+        if q_sq is None:
+            q_sq = jnp.sum(jnp.square(qvecs), axis=-1)
+        return 2.0 * ab - cand_norms[:, None, :] - q_sq[:, :, None]
+    if distance == "manhattan":
+        # VPU path; [B, P, S, d] broadcast — callers keep tiles small.
+        return -jnp.sum(
+            jnp.abs(qvecs[:, :, None, :] - cand[:, None, :, :].astype(qvecs.dtype)),
+            axis=-1)
+    raise AssertionError(distance)
+
+
+# ---------------------------------------------------------------------------
+# Query-major scan (latency path)
+# ---------------------------------------------------------------------------
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "distance", "s_max", "q_chunk", "approx"))
+def scan_query_major(query, cells, probe_mask, decoded, norms, is_empty,
+                     cell_start, cell_capacity, *, k, distance, s_max,
+                     q_chunk=16, approx=False):
+    """Gather-and-score each query's probed candidate window.
+
+    query: [nq, d] f32 (preprocessed); cells: [nq, n_probe] i32 (distinct per
+    row — top_k output); probe_mask: [nq, n_probe] bool (smart-probing mask,
+    reference IVFPQIndex.py:499-512); decoded: [cap, d]; norms: [cap];
+    is_empty: [cap] bool; s_max: static upper bound on per-cell capacity.
+    """
+    distance = canonical_distance(distance)
+    nq, n_probe = cells.shape
+    cap_total = decoded.shape[0]
+    slot_iota = jnp.arange(s_max, dtype=jnp.int32)
+
+    def one_chunk(args):
+        q, q_cells, q_mask = args  # [qc, d], [qc, np], [qc, np]
+        start = cell_start[q_cells]  # [qc, np]
+        capc = cell_capacity[q_cells]
+        addr = start[:, :, None] + slot_iota[None, None, :]  # [qc, np, s]
+        valid = (slot_iota[None, None, :] < capc[:, :, None]) & q_mask[:, :, None]
+        addr = jnp.where(valid, addr, 0)
+        flat_addr = addr.reshape(q.shape[0], -1)  # [qc, np*s]
+        valid = valid.reshape(q.shape[0], -1) & ~is_empty[flat_addr]
+        cand = decoded[flat_addr]  # [qc, np*s, d]
+        cand_norms = norms[flat_addr]
+        # _block_scores wants [B, P, d]: use B=qc, P=1
+        scores = _block_scores(q[:, None, :], cand, cand_norms, distance)
+        scores = scores[:, 0, :]  # [qc, np*s]
+        scores = jnp.where(valid, scores, -jnp.inf)
+        if approx:
+            vals, idx = jax.lax.approx_max_k(scores, min(k, scores.shape[-1]))
+        else:
+            vals, idx = jax.lax.top_k(scores, min(k, scores.shape[-1]))
+        addrs = jnp.take_along_axis(flat_addr, idx, axis=1)
+        addrs = jnp.where(jnp.isfinite(vals), addrs, -1)
+        return vals, addrs
+
+    q_pad, _ = util.pad_rows(query, q_chunk)
+    c_pad, _ = util.pad_rows(cells, q_chunk)
+    m_pad, _ = util.pad_rows(probe_mask, q_chunk, value=0)
+    nb = q_pad.shape[0] // q_chunk
+    vals, addrs = jax.lax.map(
+        one_chunk,
+        (q_pad.reshape(nb, q_chunk, -1),
+         c_pad.reshape(nb, q_chunk, -1),
+         m_pad.reshape(nb, q_chunk, -1)))
+    vals = vals.reshape(-1, vals.shape[-1])[:nq]
+    addrs = addrs.reshape(-1, addrs.shape[-1])[:nq]
+    if vals.shape[-1] < k:
+        pad = k - vals.shape[-1]
+        vals = jnp.pad(vals, ((0, 0), (0, pad)), constant_values=-jnp.inf)
+        addrs = jnp.pad(addrs, ((0, 0), (0, pad)), constant_values=-1)
+    return vals, addrs
+
+
+# ---------------------------------------------------------------------------
+# Cell-major scan (throughput path)
+# ---------------------------------------------------------------------------
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "distance", "s_max", "n_cells", "p_tile",
+                     "block_chunk", "approx"))
+def scan_cell_major(query, cells, probe_mask, decoded, norms, is_empty,
+                    cell_start, cell_capacity, *, k, distance, s_max, n_cells,
+                    p_tile=128, block_chunk=8, approx=False):
+    """Inverted-probe-list grouped-matmul scan.
+
+    Probed (query, cell) pairs are sorted by cell and packed into blocks of up
+    to `p_tile` probers of a single cell. Each block runs one
+    [p_tile, d] @ [d, s_max] matmul on the MXU against the cell's candidate
+    window, takes a per-prober top-k, and the per-pair partial top-ks are
+    unsorted back to [nq, n_probe, k] for a final exact merge — the same
+    two-stage structure as the reference kernel's per-thread stacks + final
+    bitonic merge (ivfpq_topk.cu:763-931), with the raggedness handled by
+    sort/pack instead of thread divergence.
+    """
+    distance = canonical_distance(distance)
+    nq, n_probe = cells.shape
+    d = query.shape[-1]
+    n_pairs = nq * n_probe
+    k_pair = min(k, s_max)
+    # static block budget: sum_c ceil(P_c / p_tile) <= distinct_cells + P/p_tile
+    b_max = min(n_cells, n_pairs) + util.cdiv(n_pairs, p_tile)
+    b_max = util.round_up(b_max, block_chunk)
+
+    # ---- pack pairs into blocks (all static-shape) ----
+    flat_cells = jnp.where(probe_mask.reshape(-1), cells.reshape(-1),
+                           jnp.int32(n_cells))  # masked probes sort last
+    query_of = jnp.repeat(jnp.arange(nq, dtype=jnp.int32), n_probe)
+    order = jnp.argsort(flat_cells)
+    sorted_cells = flat_cells[order]
+    sorted_q = query_of[order]
+    # rank of each pair within its cell's prober list
+    cell_first = jnp.searchsorted(sorted_cells, jnp.arange(n_cells),
+                                  side="left").astype(jnp.int32)
+    cell_count = (jnp.searchsorted(sorted_cells, jnp.arange(n_cells),
+                                   side="right").astype(jnp.int32) - cell_first)
+    pair_idx = jnp.arange(n_pairs, dtype=jnp.int32)
+    safe_cell = jnp.minimum(sorted_cells, n_cells - 1)
+    rank = pair_idx - cell_first[safe_cell]
+    blocks_per_cell = util.cdiv(cell_count, p_tile)
+    block_offset = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(blocks_per_cell)[:-1]])
+    pair_block = jnp.where(sorted_cells < n_cells,
+                           block_offset[safe_cell] + rank // p_tile,
+                           jnp.int32(b_max))  # invalid pairs -> dropped
+    pair_slot = rank % p_tile
+
+    block_cell = jnp.full((b_max,), -1, jnp.int32).at[pair_block].set(
+        sorted_cells, mode="drop")
+    probers = jnp.full((b_max, p_tile), -1, jnp.int32).at[
+        pair_block, pair_slot].set(sorted_q, mode="drop")
+
+    # ---- score blocks in chunks ----
+    slot_iota = jnp.arange(s_max, dtype=jnp.int32)
+    q_sq_all = jnp.sum(jnp.square(query), axis=-1)  # [nq]
+
+    def one_chunk(args):
+        b_cell, b_probers = args  # [bc], [bc, p_tile]
+        valid_block = b_cell >= 0
+        cell = jnp.maximum(b_cell, 0)
+        qidx = jnp.maximum(b_probers, 0)
+        qvecs = query[qidx]  # [bc, p, d]
+        start = cell_start[cell]
+        capc = cell_capacity[cell]
+        addr = start[:, None] + slot_iota[None, :]  # [bc, s]
+        slot_valid = (slot_iota[None, :] < capc[:, None]) & valid_block[:, None]
+        addr = jnp.where(slot_valid, addr, 0)
+        slot_valid = slot_valid & ~is_empty[addr]
+        cand = decoded[addr]  # [bc, s, d]
+        cand_norms = norms[addr]
+        scores = _block_scores(qvecs, cand, cand_norms, distance,
+                               q_sq=q_sq_all[qidx])  # [bc, p, s]
+        scores = jnp.where(slot_valid[:, None, :], scores, -jnp.inf)
+        scores = jnp.where((b_probers >= 0)[:, :, None], scores, -jnp.inf)
+        if approx and k_pair < s_max:
+            vals, idx = jax.lax.approx_max_k(scores, k_pair)
+        else:
+            vals, idx = jax.lax.top_k(scores, k_pair)
+        baddr = jnp.take_along_axis(
+            jnp.broadcast_to(addr[:, None, :], scores.shape), idx, axis=2)
+        baddr = jnp.where(jnp.isfinite(vals), baddr, -1)
+        return vals, baddr
+
+    nbc = b_max // block_chunk
+    vals, baddr = jax.lax.map(
+        one_chunk,
+        (block_cell.reshape(nbc, block_chunk),
+         probers.reshape(nbc, block_chunk, p_tile)))
+    vals = vals.reshape(b_max, p_tile, k_pair)
+    baddr = baddr.reshape(b_max, p_tile, k_pair)
+
+    # ---- unsort per-pair partials back to [nq, n_probe, k_pair] ----
+    safe_block = jnp.minimum(pair_block, b_max - 1)
+    pv = vals[safe_block, pair_slot]  # [n_pairs, k_pair] in sorted order
+    pa = baddr[safe_block, pair_slot]
+    live = pair_block < b_max
+    pv = jnp.where(live[:, None], pv, -jnp.inf)
+    pa = jnp.where(live[:, None], pa, -1)
+    out_v = jnp.full((n_pairs, k_pair), -jnp.inf, pv.dtype).at[order].set(pv)
+    out_a = jnp.full((n_pairs, k_pair), -1, jnp.int32).at[order].set(pa)
+
+    # ---- final exact merge per query ----
+    out_v = out_v.reshape(nq, n_probe * k_pair)
+    out_a = out_a.reshape(nq, n_probe * k_pair)
+    kk = min(k, out_v.shape[-1])
+    fv, fi = jax.lax.top_k(out_v, kk)
+    fa = jnp.take_along_axis(out_a, fi, axis=1)
+    fa = jnp.where(jnp.isfinite(fv), fa, -1)
+    if kk < k:
+        fv = jnp.pad(fv, ((0, 0), (0, k - kk)), constant_values=-jnp.inf)
+        fa = jnp.pad(fa, ((0, 0), (0, k - kk)), constant_values=-1)
+    return fv, fa

@@ -1,0 +1,104 @@
+"""Shape/dtype utilities (reference counterpart: torchpq/util.py).
+
+The reference's util validates devices/dtypes and tabulates CUDA shared-memory
+capacity (torchpq/util.py:45-80); none of that maps to TPU. What survives is
+normalization, dtype parsing and the timing probe, plus TPU-specific padding
+helpers (lane = 128, sublane = 8 for f32).
+"""
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+LANE = 128
+SUBLANE = 8
+
+
+def cdiv(a, b):
+    return -(-a // b)
+
+
+def round_up(x, m):
+    return cdiv(x, m) * m
+
+
+def next_pow2(x):
+    x = int(x)
+    if x <= 1:
+        return 1
+    return 1 << (x - 1).bit_length()
+
+
+def str2dtype(dtype):
+    """Parse a dtype name the way the reference's util.str2dtype does."""
+    if not isinstance(dtype, str):
+        return jnp.dtype(dtype)
+    aliases = {
+        "float": "float32", "double": "float64", "half": "float16",
+        "long": "int64", "int": "int32", "uint8": "uint8",
+    }
+    return jnp.dtype(aliases.get(dtype, dtype))
+
+
+def normalize(x, axis=-1, eps=1e-12):
+    """L2-normalize along `axis` (reference torchpq/util.py `normalize`)."""
+    n = jnp.linalg.norm(x, axis=axis, keepdims=True)
+    return x / jnp.maximum(n, eps)
+
+
+def as_n_d(x, d_vector=None):
+    """Accept the reference's [d, n] layout and return row-major [n, d].
+
+    All public entry points call this at the boundary; internal compute is
+    [n, d] (reference layout convention: README.md:51).
+    """
+    x = jnp.asarray(x)
+    assert x.ndim == 2, f"expected 2-D [d_vector, n_data] input, got {x.shape}"
+    if d_vector is not None:
+        assert x.shape[0] == d_vector, (
+            f"expected [d_vector={d_vector}, n_data], got {x.shape}")
+    return x.T
+
+
+def as_d_n(x):
+    """Return to the reference's [d, n] layout at the boundary."""
+    return x.T
+
+
+def pad_rows(x, multiple, value=0):
+    """Pad axis 0 of `x` up to a multiple; returns (padded, n_valid)."""
+    n = x.shape[0]
+    target = round_up(max(n, 1), multiple)
+    if target == n:
+        return x, n
+    pad = [(0, target - n)] + [(0, 0)] * (x.ndim - 1)
+    return jnp.pad(x, pad, constant_values=value), n
+
+
+class Timer:
+    """Wall-clock probe with device sync (reference torchpq/util.py:86 tick())."""
+
+    def __init__(self):
+        self.t = time.perf_counter()
+
+    def tick(self, label=""):
+        jax.effects_barrier()
+        now = time.perf_counter()
+        dt = now - self.t
+        self.t = now
+        if label:
+            print(f"[tick] {label}: {dt * 1e3:.3f} ms")
+        return dt
+
+
+def block_until_ready(tree):
+    return jax.tree_util.tree_map(
+        lambda a: a.block_until_ready() if hasattr(a, "block_until_ready") else a,
+        tree,
+    )
+
+
+def to_numpy(tree):
+    return jax.tree_util.tree_map(np.asarray, tree)
