@@ -35,19 +35,26 @@ from ..fn.ivfpq_topk import IVFPQTopk
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_probe", "use_smart", "precision"))
+    jax.jit, static_argnames=("n_probe", "use_smart", "precision", "approx"))
 def _coarse_probe(query, coarse_codebook, temperature, *, n_probe, use_smart,
-                  precision):
+                  precision, approx=False):
     """Coarse scoring + cell selection + smart-probing mask.
 
     Mirrors reference search (IVFPQIndex.py:483-512): coarse scores are always
     negative squared L2 against the VQ codebook; smart probing computes
     p = softmax(-sqrt|sims| / T) and keeps ceil(normalized_entropy * n_probe)
     cells per query (as a mask — max_n_probe stays static).
+
+    approx=True uses the TPU-native approximate top-k for cell selection
+    (jax.lax.top_k is a full sort on TPU and dominates coarse cost otherwise).
     """
     sims = negative_squared_l2_distance(query, coarse_codebook,
                                         precision=precision)
-    topk_sims, cells = jax.lax.top_k(sims, n_probe)
+    if approx and n_probe < sims.shape[-1]:
+        topk_sims, cells = jax.lax.approx_max_k(sims, n_probe,
+                                                recall_target=0.99)
+    else:
+        topk_sims, cells = jax.lax.top_k(sims, n_probe)
     if use_smart and n_probe > 1:
         p = jax.nn.softmax(-jnp.sqrt(jnp.abs(topk_sims)) / temperature,
                            axis=-1)
@@ -61,6 +68,35 @@ def _coarse_probe(query, coarse_codebook, temperature, *, n_probe, use_smart,
     else:
         mask = jnp.ones(cells.shape, bool)
     return topk_sims, cells.astype(jnp.int32), mask
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "n_probe", "use_smart", "precision", "distance",
+                     "s_max", "n_cells", "mode", "approx"))
+def _search_full(q, coarse_codebook, decoded, norms, is_empty, cell_start,
+                 cell_capacity, address2id, temperature, *, k, n_probe,
+                 use_smart, precision, distance, s_max, n_cells, mode,
+                 approx):
+    """The whole query path in one jit: coarse scoring + probing + fused
+    scan + id translation. One dispatch per search call — the reference pays
+    one kernel launch per stage (IVFPQIndex.py:469-524); here XLA fuses the
+    glue and the host never touches intermediates."""
+    from ..ops import adc
+    _, cells, mask = _coarse_probe(
+        q, coarse_codebook, temperature, n_probe=n_probe,
+        use_smart=use_smart, precision=precision, approx=approx)
+    if mode == "query_major":
+        vals, addr = adc.scan_query_major(
+            q, cells, mask, decoded, norms, is_empty, cell_start,
+            cell_capacity, k=k, distance=distance, s_max=s_max, approx=approx)
+    else:
+        vals, addr = adc.scan_cell_major(
+            q, cells, mask, decoded, norms, is_empty, cell_start,
+            cell_capacity, k=k, distance=distance, s_max=s_max,
+            n_cells=n_cells, approx=approx)
+    ids = jnp.where(addr >= 0, address2id[jnp.maximum(addr, 0)], -1)
+    return vals, ids, addr
 
 
 class IVFPQIndex(CellContainer):
@@ -89,6 +125,8 @@ class IVFPQIndex(CellContainer):
         self._smart_probing_temperature = 30.0
         self._use_tensor_core = True
         self._fp16_scale_mode = "a"
+        self._use_approx_topk = False
+        self.scan_mode = scan_mode
 
         cache_dtype = scan_cache_dtype or config.SCAN_CACHE_DTYPE
         self.add_aux_store("decoded", d_vector, cache_dtype)
@@ -146,6 +184,18 @@ class IVFPQIndex(CellContainer):
     def smart_probing_temperature(self, value):
         assert value > 0
         self._smart_probing_temperature = float(value)
+
+    @property
+    def use_approx_topk(self):
+        """TPU-native approximate top-k for coarse probing and in-scan
+        selection (jax.lax.approx_max_k). Slight recall trade for large
+        speedups; off by default for exactness parity with the reference."""
+        return self._use_approx_topk
+
+    @use_approx_topk.setter
+    def use_approx_topk(self, value):
+        self._use_approx_topk = bool(value)
+        self._ivfpq_topk.approx = bool(value)
 
     @property
     def use_precomputed(self):
@@ -257,22 +307,35 @@ class IVFPQIndex(CellContainer):
         return vals, ids
 
     def search(self, x, k=1, return_address=False):
-        """x: [d_vector, nq] -> (values [nq, k], ids [nq, k])."""
+        """x: [d_vector, nq] -> (values [nq, k], ids [nq, k]).
+
+        Runs the fully-fused query path (_search_full): one device dispatch
+        for coarse + probe + scan + id translation."""
         x = jnp.asarray(x).astype(jnp.float32)
         assert x.shape[0] == self.d_vector
         if self.distance == "cosine":
             x = util.normalize(x, axis=0)
         q = x.T
+        nq = q.shape[0]
         n_probe = min(self.n_probe, self.n_cells)
         precision = (config.SEARCH_PRECISION if self._use_tensor_core
                      else jax.lax.Precision.HIGHEST)
-        coarse_codebook = self.vq_codec.kmeans._centroids[0]  # [n_cells, d]
-        _, cells, mask = _coarse_probe(
-            q, coarse_codebook, jnp.float32(self._smart_probing_temperature),
-            n_probe=n_probe, use_smart=self._use_smart_probing,
-            precision=precision)
-        return self.search_cells(x, cells, probe_mask=mask, k=k,
-                                 return_address=return_address)
+        mode = self.scan_mode
+        if mode == "auto":
+            mode = ("query_major" if nq < self._ivfpq_topk.batch_threshold
+                    else "cell_major")
+        vals, ids, addr = _search_full(
+            q, self.vq_codec.kmeans._centroids[0],
+            self.aux("decoded"), self.aux("norm")[:, 0], self._is_empty,
+            self._cell_start, self._cell_capacity, self._address2id,
+            jnp.float32(self._smart_probing_temperature),
+            k=int(k), n_probe=n_probe, use_smart=self._use_smart_probing,
+            precision=precision, distance=self.distance,
+            s_max=self.max_cell_capacity, n_cells=self.n_cells, mode=mode,
+            approx=self._use_approx_topk)
+        if return_address:
+            return vals, ids, addr
+        return vals, ids
 
     # ---- rescoring extras (reference legacy/IVFPQ.py:253-311) ----
     def similarity_at_address(self, x, address):

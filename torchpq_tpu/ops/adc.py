@@ -221,13 +221,29 @@ def scan_query_major(query, cells, probe_mask, decoded, norms, is_empty,
 # Cell-major scan (throughput path)
 # ---------------------------------------------------------------------------
 
+def _f32_sortable_i32(x):
+    """Bijective f32 -> int32 map that preserves ordering (< on floats ==
+    < on int32 keys). Standard sign-flip trick; -inf maps near INT32_MIN."""
+    u = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    sign = (u >> 31) == 1
+    key = jnp.where(sign, (~u) ^ jnp.uint32(0x80000000), u)
+    return jax.lax.bitcast_convert_type(key, jnp.int32)
+
+
+def _sortable_i32_f32(key):
+    """Inverse of _f32_sortable_i32."""
+    k = jax.lax.bitcast_convert_type(key, jnp.uint32)
+    sign = (key < 0)
+    u = jnp.where(sign, (~k) ^ jnp.uint32(0x80000000), k)
+    return jax.lax.bitcast_convert_type(u, jnp.float32)
+
 @functools.partial(
     jax.jit,
     static_argnames=("k", "distance", "s_max", "n_cells", "p_tile",
                      "block_chunk", "approx"))
 def scan_cell_major(query, cells, probe_mask, decoded, norms, is_empty,
                     cell_start, cell_capacity, *, k, distance, s_max, n_cells,
-                    p_tile=128, block_chunk=8, approx=False):
+                    p_tile=256, block_chunk=8, approx=False):
     """Inverted-probe-list grouped-matmul scan.
 
     Probed (query, cell) pairs are sorted by cell and packed into blocks of up
@@ -238,12 +254,22 @@ def scan_cell_major(query, cells, probe_mask, decoded, norms, is_empty,
     two-stage structure as the reference kernel's per-thread stacks + final
     bitonic merge (ivfpq_topk.cu:763-931), with the raggedness handled by
     sort/pack instead of thread divergence.
+
+    Performance notes (measured on v5e):
+    * every mask folds into ONE [bc, s] per-slot penalty added in the same
+      pass as the -|y|^2 norms term; no [bc, p, s] elementwise mask passes
+      (they cost ~3x the matmul itself);
+    * candidate addresses are arithmetic (cell_start + slot), never gathered;
+    * the per-row -|q|^2 constant doesn't affect ranking, so it's applied to
+      the k winners after top-k (reference keeps true similarity values);
+    * exact jax.lax.top_k over the s-dim is a full sort on TPU (~13x the
+      matmul cost at s=2048); approx=True uses the TPU-native approx_max_k.
     """
     distance = canonical_distance(distance)
     nq, n_probe = cells.shape
     d = query.shape[-1]
     n_pairs = nq * n_probe
-    k_pair = min(k, s_max)
+    k_pair = min(k, s_max, decoded.shape[0])
     # static block budget: sum_c ceil(P_c / p_tile) <= distinct_cells + P/p_tile
     b_max = min(n_cells, n_pairs) + util.cdiv(n_pairs, p_tile)
     b_max = util.round_up(b_max, block_chunk)
@@ -276,62 +302,94 @@ def scan_cell_major(query, cells, probe_mask, decoded, norms, is_empty,
     probers = jnp.full((b_max, p_tile), -1, jnp.int32).at[
         pair_block, pair_slot].set(sorted_q, mode="drop")
 
-    # ---- score blocks in chunks ----
+    # ---- score blocks ----
+    # TPU gathers run at ~1 GB/s while contiguous dynamic-slices run at HBM
+    # speed. Cells are contiguous segments, so every candidate-side load is a
+    # dynamic_slice at cell_start; the only true gather left is the per-block
+    # query tile (rows from a small VMEM-resident table). All validity folds
+    # into ONE [s] penalty term read from a precomputed [cap] array
+    # (norm-or-BIG), applied in the same pass as the matmul epilogue.
+    big = jnp.float32(jnp.finfo(jnp.float32).max / 4)
+    cell_all = jnp.maximum(block_cell, 0)
+    qidx_all = jnp.maximum(probers, 0)
+    mm_dtype = decoded.dtype if decoded.dtype == jnp.bfloat16 else query.dtype
+    qvecs_all = query[qidx_all].astype(
+        mm_dtype if distance != "manhattan" else query.dtype)  # [B, p, d]
+    start_all = cell_start[cell_all]  # [B]
+    cap_all = cell_capacity[cell_all]  # [B]
+    if distance == "euclidean":
+        penalty_arr = jnp.where(is_empty, big, norms)  # [cap], one pass
+        q_sq_all = jnp.sum(jnp.square(query), axis=-1)[qidx_all]  # [B, p]
+    else:
+        penalty_arr = jnp.where(is_empty, big, 0.0)
+        q_sq_all = jnp.zeros(qidx_all.shape, jnp.float32)
     slot_iota = jnp.arange(s_max, dtype=jnp.int32)
-    q_sq_all = jnp.sum(jnp.square(query), axis=-1)  # [nq]
 
-    def one_chunk(args):
-        b_cell, b_probers = args  # [bc], [bc, p_tile]
-        valid_block = b_cell >= 0
-        cell = jnp.maximum(b_cell, 0)
-        qidx = jnp.maximum(b_probers, 0)
-        qvecs = query[qidx]  # [bc, p, d]
-        start = cell_start[cell]
-        capc = cell_capacity[cell]
-        addr = start[:, None] + slot_iota[None, :]  # [bc, s]
-        slot_valid = (slot_iota[None, :] < capc[:, None]) & valid_block[:, None]
-        addr = jnp.where(slot_valid, addr, 0)
-        slot_valid = slot_valid & ~is_empty[addr]
-        cand = decoded[addr]  # [bc, s, d]
-        cand_norms = norms[addr]
-        scores = _block_scores(qvecs, cand, cand_norms, distance,
-                               q_sq=q_sq_all[qidx])  # [bc, p, s]
-        scores = jnp.where(slot_valid[:, None, :], scores, -jnp.inf)
-        scores = jnp.where((b_probers >= 0)[:, :, None], scores, -jnp.inf)
-        if approx and k_pair < s_max:
+    cap_total = decoded.shape[0]
+    s_eff = min(s_max, cap_total)
+
+    def one_block(args):
+        qvecs, start, capc, q_sq = args  # [p, d], [], [], [p]
+        # keep the slice in-bounds ourselves: dynamic_slice silently clamps
+        # the start, which would shift the window and corrupt addresses
+        start_c = jnp.clip(start, 0, cap_total - s_eff)
+        off = start - start_c
+        cand = jax.lax.dynamic_slice(decoded, (start_c, 0),
+                                     (s_eff, decoded.shape[1]))
+        pen = jax.lax.dynamic_slice(penalty_arr, (start_c,), (s_eff,))
+        # slots outside [off, off + capc) hold *other* cells' live items:
+        # their scores would be correct but duplicated -> mask by capacity
+        in_cell = (slot_iota[:s_eff] >= off) & (slot_iota[:s_eff] < off + capc)
+        pen = pen + jnp.where(in_cell, 0.0, big)
+        if distance == "manhattan":
+            scores = -jnp.sum(
+                jnp.abs(qvecs[:, None, :] - cand[None, :, :].astype(
+                    qvecs.dtype)), axis=-1)
+            scores = scores - pen[None, :]
+        else:
+            ab = jnp.einsum("pd,sd->ps", qvecs, cand.astype(qvecs.dtype),
+                            preferred_element_type=jnp.float32)
+            scores = (2.0 * ab if distance == "euclidean" else ab)
+            scores = scores - pen[None, :]
+        if approx and k_pair < s_eff:
             vals, idx = jax.lax.approx_max_k(scores, k_pair)
         else:
             vals, idx = jax.lax.top_k(scores, k_pair)
-        baddr = jnp.take_along_axis(
-            jnp.broadcast_to(addr[:, None, :], scores.shape), idx, axis=2)
-        baddr = jnp.where(jnp.isfinite(vals), baddr, -1)
-        return vals, baddr
+        baddr = start_c + idx  # candidate address is arithmetic — no gather
+        alive = vals > -big / 2
+        if distance == "euclidean":
+            vals = vals - q_sq[:, None]  # true -(q-y)^2 values
+        vals = jnp.where(alive, vals, -jnp.inf)
+        baddr = jnp.where(alive, baddr, -1)
+        # pack (value, address) as [k] order-preserving int32 keys + [k]
+        # addresses so the unsort permutation moves ONE array, not two
+        # (the permutation runs at gather speed; halving ops halves time)
+        return jnp.concatenate([_f32_sortable_i32(vals), baddr], axis=-1)
 
-    nbc = b_max // block_chunk
-    vals, baddr = jax.lax.map(
-        one_chunk,
-        (block_cell.reshape(nbc, block_chunk),
-         probers.reshape(nbc, block_chunk, p_tile)))
-    vals = vals.reshape(b_max, p_tile, k_pair)
-    baddr = baddr.reshape(b_max, p_tile, k_pair)
+    combo = jax.lax.map(
+        one_block, (qvecs_all, start_all, cap_all, q_sq_all))
+    # [b_max, p_tile, 2 * k_pair]
 
     # ---- unsort per-pair partials back to [nq, n_probe, k_pair] ----
     safe_block = jnp.minimum(pair_block, b_max - 1)
-    pv = vals[safe_block, pair_slot]  # [n_pairs, k_pair] in sorted order
-    pa = baddr[safe_block, pair_slot]
+    pc = combo[safe_block, pair_slot]  # [n_pairs, 2k] in sorted order
     live = pair_block < b_max
-    pv = jnp.where(live[:, None], pv, -jnp.inf)
-    pa = jnp.where(live[:, None], pa, -1)
-    out_v = jnp.full((n_pairs, k_pair), -jnp.inf, pv.dtype).at[order].set(pv)
-    out_a = jnp.full((n_pairs, k_pair), -1, jnp.int32).at[order].set(pa)
+    neg = jnp.int32(jnp.iinfo(jnp.int32).min)
+    fill = jnp.concatenate([jnp.full(k_pair, neg, jnp.int32),
+                            jnp.full(k_pair, -1, jnp.int32)])
+    pc = jnp.where(live[:, None], pc, fill[None, :])
+    out = jnp.broadcast_to(fill, (n_pairs, 2 * k_pair)).at[order].set(pc)
 
     # ---- final exact merge per query ----
-    out_v = out_v.reshape(nq, n_probe * k_pair)
-    out_a = out_a.reshape(nq, n_probe * k_pair)
-    kk = min(k, out_v.shape[-1])
-    fv, fi = jax.lax.top_k(out_v, kk)
-    fa = jnp.take_along_axis(out_a, fi, axis=1)
+    out = out.reshape(nq, n_probe, 2 * k_pair)
+    keys = out[:, :, :k_pair].reshape(nq, n_probe * k_pair)
+    addrs = out[:, :, k_pair:].reshape(nq, n_probe * k_pair)
+    kk = min(k, keys.shape[-1])
+    fk, fi = jax.lax.top_k(keys, kk)
+    fa = jnp.take_along_axis(addrs, fi, axis=1)
+    fv = _sortable_i32_f32(fk)
     fa = jnp.where(jnp.isfinite(fv), fa, -1)
+    fv = jnp.where(jnp.isfinite(fv), fv, -jnp.inf)
     if kk < k:
         fv = jnp.pad(fv, ((0, 0), (0, k - kk)), constant_values=-jnp.inf)
         fa = jnp.pad(fa, ((0, 0), (0, k - kk)), constant_values=-1)
