@@ -14,6 +14,7 @@ Scaled-down fallback: pass --small for a 100k x 64d run (CI / CPU).
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -48,21 +49,29 @@ def make_data(n_base, n_query, d, seed=0, n_centers=1000, intrinsic=8):
     return sample(n_base), sample(n_query)
 
 
-def brute_force_topk(base, query, k, chunk=1024):
-    """Ground truth via exact L2 on device."""
-    bj = jnp.asarray(base)
-    b_sq = jnp.sum(bj * bj, axis=1)
+def brute_force_topk(base, query, k, chunk=512, cache_key=None):
+    """Exact L2 ground truth on the host (numpy BLAS + argpartition).
 
-    @jax.jit
-    def score(qc):
-        s = 2.0 * (qc @ bj.T) - b_sq[None, :] - jnp.sum(
-            qc * qc, axis=1, keepdims=True)
-        return jax.lax.top_k(s, k)[1]
-
+    Exact top-k on TPU is sort-based and prohibitively slow at 1M width;
+    the host computes it in minutes and the result is cached on disk.
+    """
+    if cache_key is not None:
+        path = f"/tmp/gt_{cache_key}_{len(base)}_{len(query)}_{k}.npy"
+        if os.path.exists(path):
+            return np.load(path)
+    b_sq = (base * base).sum(1)
     outs = []
     for i in range(0, len(query), chunk):
-        outs.append(np.asarray(score(jnp.asarray(query[i:i + chunk]))))
-    return np.concatenate(outs)
+        q = query[i:i + chunk]
+        s = 2.0 * (q @ base.T) - b_sq[None, :]
+        part = np.argpartition(-s, k, axis=1)[:, :k]
+        ps = np.take_along_axis(s, part, axis=1)
+        order = np.argsort(-ps, axis=1)
+        outs.append(np.take_along_axis(part, order, axis=1))
+    out = np.concatenate(outs)
+    if cache_key is not None:
+        np.save(path, out)
+    return out
 
 
 def recall_at_k(pred_ids, true_idx, ids_map, k):
@@ -117,23 +126,32 @@ def main():
     print(f"[bench] add: {add_s:.2f}s ({n_base / add_s:.0f} vec/s)",
           file=sys.stderr)
 
+    true_idx = brute_force_topk(
+        base, query, args.k,
+        cache_key="small" if args.small else "full")
+    print("[bench] ground truth ready", file=sys.stderr)
+
     qj = jnp.asarray(query.T)
-    # warmup + compile
-    vals, pred = index.search(qj, k=args.k)
-    jax.block_until_ready(vals)
-    t0 = time.perf_counter()
-    for _ in range(args.repeats):
-        vals, pred = index.search(qj, k=args.k)
-    jax.block_until_ready(vals)
-    search_s = (time.perf_counter() - t0) / args.repeats
-    qps = n_query / search_s
-    print(f"[bench] search: {search_s * 1e3:.2f} ms for {n_query} queries "
-          f"-> {qps:.0f} q/s", file=sys.stderr)
+    sweep = {}
+    for n_probe in (1, 8, 32, 128):
+        if n_probe > n_cells:
+            continue
+        index.n_probe = n_probe
+        vals, pred = index.search(qj, k=args.k)  # warmup + compile
+        jax.block_until_ready(vals)
+        t0 = time.perf_counter()
+        for _ in range(args.repeats):
+            vals, pred = index.search(qj, k=args.k)
+        jax.block_until_ready(vals)
+        search_s = (time.perf_counter() - t0) / args.repeats
+        qps = n_query / search_s
+        rec = recall_at_k(np.asarray(pred), true_idx, ids_map, args.k)
+        sweep[n_probe] = (qps, rec)
+        print(f"[bench] n_probe={n_probe}: {search_s * 1e3:.2f} ms "
+              f"-> {qps:,.0f} q/s  recall@{args.k}={rec:.4f}",
+              file=sys.stderr)
 
-    true_idx = brute_force_topk(base, query, args.k)
-    rec = recall_at_k(np.asarray(pred), true_idx, ids_map, args.k)
-    print(f"[bench] recall@{args.k}: {rec:.4f}", file=sys.stderr)
-
+    qps, rec = sweep[args.n_probe]
     baseline_qps = 143092.0  # TorchPQ T4, n_probe=32 (BASELINE.md)
     result = {
         "metric": f"IVFPQ-{'small' if args.small else 'sift1m-class'}"
@@ -147,6 +165,8 @@ def main():
             "add_s": round(add_s, 2),
             "n_base": n_base,
             "n_query": n_query,
+            "sweep": {str(p): {"qps": round(v, 0), "recall": round(r, 4)}
+                      for p, (v, r) in sweep.items()},
             "baseline_qps_T4": baseline_qps,
             "baseline_recall@10_T4": 0.950,
         },

@@ -1,0 +1,57 @@
+import numpy as np
+import jax.numpy as jnp
+
+from torchpq_tpu.ops import bmm as bmm_ops
+from torchpq_tpu.ops.pallas_gather import gather_rows
+from torchpq_tpu.container import CellContainer
+from torchpq_tpu import profiling
+
+
+def test_bmm_distances(rng):
+    a = rng.normal(size=(3, 10, 8)).astype(np.float32)
+    b = rng.normal(size=(3, 7, 8)).astype(np.float32)
+    out = np.asarray(bmm_ops.bmm(jnp.asarray(a), jnp.asarray(b), "euclidean"))
+    want = -((a[:, :, None] - b[:, None]) ** 2).sum(-1)
+    np.testing.assert_allclose(out, want, rtol=1e-4, atol=1e-4)
+    out = np.asarray(bmm_ops.bmm(jnp.asarray(a), jnp.asarray(b), "inner"))
+    np.testing.assert_allclose(out, np.einsum("lmd,lnd->lmn", a, b),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_min_topk_masked_bmm(rng):
+    a = rng.normal(size=(2, 6, 4)).astype(np.float32)
+    b = rng.normal(size=(2, 9, 4)).astype(np.float32)
+    vals, idx = bmm_ops.min_bmm(jnp.asarray(a), jnp.asarray(b), "euclidean")
+    sims = -((a[:, :, None] - b[:, None]) ** 2).sum(-1)
+    np.testing.assert_array_equal(np.asarray(idx), sims.argmax(2))
+    tv, ti = bmm_ops.topk_bmm(jnp.asarray(a), jnp.asarray(b), k=3)
+    assert tv.shape == (2, 6, 3)
+    mask = np.zeros((2, 6, 9), bool)
+    mask[:, :, 0] = True
+    mv = np.asarray(bmm_ops.masked_bmm(jnp.asarray(a), jnp.asarray(b),
+                                       jnp.asarray(mask)))
+    assert np.isneginf(mv[:, :, 1:]).all()
+
+
+def test_pallas_gather_interpret(rng):
+    t = jnp.asarray(rng.normal(size=(300, 32)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, 300, size=(777,)).astype(np.int32))
+    out = gather_rows(t, idx, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(t)[np.asarray(idx)])
+
+
+def test_cell_container_ioa_write_address(rng):
+    c = CellContainer(code_size=4, n_cells=3, initial_size=8)
+    cells = jnp.asarray(np.array([0, 1, 0, 2, 0, 1], np.int32))
+    ioa = np.asarray(c.get_ioa(cells))
+    np.testing.assert_array_equal(ioa, [0, 0, 1, 0, 2, 1])
+    addr = np.asarray(c.get_write_address(cells))
+    starts = np.asarray(c._cell_start)
+    np.testing.assert_array_equal(addr, starts[np.asarray(cells)] + ioa)
+
+
+def test_phase_timer():
+    t = profiling.PhaseTimer()
+    with t.phase("a"):
+        pass
+    assert "a" in t.report()

@@ -32,6 +32,8 @@ from . import container
 from . import index
 from . import transform
 from . import parallel
+from . import legacy
+from . import profiling
 
 from .fn import Topk
 

@@ -33,15 +33,12 @@ from .. import util
 from .base import BaseContainer
 
 
-@functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4))
-def _cell_add(storage, address2id, id2address, is_empty, cell_size,
-              cell_start, data, cells, ids, valid):
-    """Scatter a batch into its cells. cells: [b] i32, valid: [b] bool."""
-    cap = storage.shape[0]
+@jax.jit
+def _compute_ioa(cells, valid, n_cells_arr):
+    """Rank of each batch item within its own cell — the reference's
+    get_ioa kernel (get_ioa.cu) as a sort + run-start subtraction."""
     b = cells.shape[0]
-    n_cells = cell_start.shape[0]
-
-    # ioa: rank of each batch item within its own cell (reference get_ioa)
+    n_cells = n_cells_arr.shape[0]
     key = jnp.where(valid, cells, n_cells)
     order = jnp.argsort(key)
     sorted_key = key[order]
@@ -49,16 +46,32 @@ def _cell_add(storage, address2id, id2address, is_empty, cell_size,
     pos = jnp.arange(b, dtype=jnp.int32)
     safe = jnp.minimum(sorted_key, n_cells - 1)
     rank_sorted = pos - first[safe].astype(jnp.int32)
-    ioa = jnp.zeros((b,), jnp.int32).at[order].set(rank_sorted)
+    return jnp.zeros((b,), jnp.int32).at[order].set(rank_sorted)
 
-    # write address: the (ioa+1)-th empty slot at/after the cell's start
+
+@jax.jit
+def _find_write_addresses(is_empty, cell_start, cells, ioa, valid):
+    """Address of the (ioa+1)-th empty slot at/after each cell's start —
+    the reference's get_write_address kernel (get_write_address_v2.cu) as a
+    global prefix-sum over the empty bitmap + searchsorted."""
+    cap = is_empty.shape[0]
     empty_i32 = is_empty.astype(jnp.int32)
     inc = jnp.cumsum(empty_i32)             # empties in [0, i]
     excl = inc - empty_i32                  # empties in [0, i)
     start = cell_start[jnp.where(valid, cells, 0)]
     target = excl[start] + ioa + 1
     addr = jnp.searchsorted(inc, target, side="left").astype(jnp.int32)
-    addr = jnp.where(valid, addr, cap)      # invalid -> dropped
+    return jnp.where(valid, addr, cap)      # invalid -> dropped
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4))
+def _cell_add(storage, address2id, id2address, is_empty, cell_size,
+              cell_start, data, cells, ids, valid):
+    """Scatter a batch into its cells. cells: [b] i32, valid: [b] bool."""
+    cap = storage.shape[0]
+    n_cells = cell_start.shape[0]
+    ioa = _compute_ioa(cells, valid, cell_start)
+    addr = _find_write_addresses(is_empty, cell_start, cells, ioa, valid)
 
     storage = storage.at[addr].set(data, mode="drop")
     address2id = address2id.at[addr].set(ids, mode="drop")
@@ -187,6 +200,25 @@ class CellContainer(BaseContainer):
                               jnp.where(valid, address, 0),
                               side="right") - 1).astype(jnp.int32)
         return jnp.where(valid, c, -1)
+
+    def get_ioa(self, cells, unique_cells=None):
+        """Rank of each element within its own cell, stable — reference
+        CellContainer.get_ioa (:128-139)."""
+        del unique_cells
+        cells = jnp.asarray(cells).astype(jnp.int32)
+        valid = jnp.ones(cells.shape, bool)
+        return _compute_ioa(cells, valid, self._cell_start)
+
+    def get_write_address(self, cells, empty_adr=None, ioa=None):
+        """Target write address for each new item (the ioa-th empty slot of
+        its cell) — reference CellContainer.get_write_address (:151-173)."""
+        del empty_adr
+        cells = jnp.asarray(cells).astype(jnp.int32)
+        valid = jnp.ones(cells.shape, bool)
+        if ioa is None:
+            ioa = _compute_ioa(cells, valid, self._cell_start)
+        return _find_write_addresses(
+            self._is_empty, self._cell_start, cells, jnp.asarray(ioa), valid)
 
     def get_data_by_address(self, address):
         """[n] -> [code_size, n] reference layout; zeros for empty/invalid."""
