@@ -107,6 +107,11 @@ def main():
                        initial_size=max(16, (n_base // n_cells) * 2))
     index.n_probe = args.n_probe
     index.use_approx_topk = True  # TPU-native top-k; recall reported below
+    # bounded cells: overflow spills to the next-best cell so the scan's
+    # per-block window stays at the mean cell size (recall effect shows up
+    # in the reported numbers)
+    index.spill_cells = 4
+    index.spill_capacity = index.max_cell_capacity
 
     t0 = time.perf_counter()
     index.train(jnp.asarray(base[:train_n].T))

@@ -1,0 +1,124 @@
+"""ann-benchmarks-style recall/QPS sweep (reference counterpart: the
+benchmark/ directory's committed JSONs — recall@{1,10,100} vs q/s, n_probe
+swept in powers of two; protocol in benchmark/turing/sift1m/README.md).
+
+Usage:
+  python benchmark/sweep.py                      # synthetic SIFT1M-class
+  python benchmark/sweep.py --base sift_base.fvecs --query sift_query.fvecs \
+      --learn sift_learn.fvecs                   # real texmex datasets
+
+Writes benchmark/results/<name>.json with one entry per n_probe.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--base")
+    ap.add_argument("--query")
+    ap.add_argument("--learn")
+    ap.add_argument("--name", default=None)
+    ap.add_argument("--n-base", type=int, default=1_000_000)
+    ap.add_argument("--n-query", type=int, default=10_000)
+    ap.add_argument("--d", type=int, default=128)
+    ap.add_argument("--n-cells", type=int, default=4096)
+    ap.add_argument("--n-subvectors", type=int, default=64)
+    ap.add_argument("--distance", default="euclidean")
+    ap.add_argument("--residual", action="store_true")
+    ap.add_argument("--ks", type=int, nargs="+", default=[1, 10, 100])
+    ap.add_argument("--n-probes", type=int, nargs="+",
+                    default=[1, 2, 4, 8, 16, 32, 64, 128])
+    ap.add_argument("--repeats", type=int, default=5)
+    args = ap.parse_args()
+
+    from bench import make_data, brute_force_topk, recall_at_k
+    from torchpq_tpu.index import IVFPQIndex
+    from torchpq_tpu import native
+
+    if args.base:
+        base = native.read_fvecs(args.base, n_max=args.n_base)
+        query = native.read_fvecs(args.query, n_max=args.n_query)
+        learn = (native.read_fvecs(args.learn) if args.learn
+                 else base[:max(len(base) // 10, 10_000)])
+        name = args.name or os.path.basename(args.base).split(".")[0]
+    else:
+        base, query = make_data(args.n_base, args.n_query, args.d)
+        learn = base[:100_000]
+        name = args.name or f"synthetic{len(base)}"
+    d = base.shape[1]
+
+    index = IVFPQIndex(
+        d_vector=d, n_subvectors=args.n_subvectors, n_cells=args.n_cells,
+        distance=args.distance, pq_use_residual=args.residual,
+        initial_size=max(16, (len(base) // args.n_cells) * 2))
+    index.use_approx_topk = True
+    index.spill_cells = 4
+    index.spill_capacity = index.max_cell_capacity
+
+    t0 = time.perf_counter()
+    index.train(jnp.asarray(learn.T))
+    jax.effects_barrier()
+    train_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for i in range(0, len(base), 250_000):
+        index.add(jnp.asarray(base[i:i + 250_000].T))
+    jax.effects_barrier()
+    add_s = time.perf_counter() - t0
+    print(f"train {train_s:.1f}s add {add_s:.1f}s", file=sys.stderr)
+
+    k_max = max(args.ks)
+    gt = brute_force_topk(base, query, k_max, cache_key=f"sweep_{name}")
+    ids_map = np.arange(len(base))
+    qj = jnp.asarray(query.T)
+
+    entries = []
+    for n_probe in args.n_probes:
+        if n_probe > args.n_cells:
+            continue
+        index.n_probe = n_probe
+        vals, pred = index.search(qj, k=k_max)
+        jax.block_until_ready(vals)
+        t0 = time.perf_counter()
+        for _ in range(args.repeats):
+            vals, pred = index.search(qj, k=k_max)
+        jax.block_until_ready(vals)
+        dt = (time.perf_counter() - t0) / args.repeats
+        pred_np = np.asarray(pred)
+        recalls = {f"recall@{k}": round(
+            recall_at_k(pred_np[:, :k], gt[:, :k], ids_map, k), 4)
+            for k in args.ks}
+        entry = {"n_probe": n_probe, "qps": round(len(query) / dt, 1),
+                 **recalls}
+        entries.append(entry)
+        print(entry, file=sys.stderr)
+
+    out = {
+        "dataset": name, "n_base": len(base), "d": d,
+        "n_cells": args.n_cells, "n_subvectors": args.n_subvectors,
+        "distance": args.distance, "residual": args.residual,
+        "train_s": round(train_s, 2), "add_s": round(add_s, 2),
+        "device": str(jax.devices()[0]), "entries": entries,
+    }
+    os.makedirs(os.path.join(os.path.dirname(__file__), "results"),
+                exist_ok=True)
+    path = os.path.join(os.path.dirname(__file__), "results",
+                        f"ivf{args.n_cells}_pq{args.n_subvectors}"
+                        f"{'_residual' if args.residual else ''}_{name}.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

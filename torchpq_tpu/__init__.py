@@ -33,6 +33,7 @@ from . import index
 from . import transform
 from . import parallel
 from . import legacy
+from . import native
 from . import profiling
 
 from .fn import Topk

@@ -20,7 +20,7 @@ SEARCH_PRECISION = jax.lax.Precision.DEFAULT
 SCAN_CACHE_DTYPE = "bfloat16"
 
 # Default chunk sizes (elements) used to bound intermediate buffers.
-MAX_SIM_CHUNK_ELEMS = 1 << 24  # ~16M f32 elems = 64 MiB score chunks
+MAX_SIM_CHUNK_ELEMS = 1 << 26  # ~64M f32 elems = 256 MiB score chunks
 
 
 def set_search_precision(p):

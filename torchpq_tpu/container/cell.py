@@ -142,7 +142,10 @@ class CellContainer(BaseContainer):
         del device, contiguous_size  # CUDA-isms accepted for API parity
         if initial_size is None:
             initial_size = max(expand_step_size // max(n_cells, 1), 16)
-        per_cell = util.next_pow2(initial_size)
+        # per-cell capacities are pow2 and >= 16, so every cell start is a
+        # multiple of 16 — an alignment invariant the Pallas scan's DMA
+        # relies on (ops/pallas_scan.py)
+        per_cell = max(util.next_pow2(initial_size), 16)
         super().__init__(initial_size=per_cell * n_cells,
                          expand_step_size=expand_step_size,
                          expand_mode=expand_mode,

@@ -73,11 +73,11 @@ def _coarse_probe(query, coarse_codebook, temperature, *, n_probe, use_smart,
 @functools.partial(
     jax.jit,
     static_argnames=("k", "n_probe", "use_smart", "precision", "distance",
-                     "s_max", "n_cells", "mode", "approx"))
+                     "s_max", "n_cells", "mode", "approx", "impl"))
 def _search_full(q, coarse_codebook, decoded, norms, is_empty, cell_start,
                  cell_capacity, address2id, temperature, *, k, n_probe,
                  use_smart, precision, distance, s_max, n_cells, mode,
-                 approx):
+                 approx, impl="xla"):
     """The whole query path in one jit: coarse scoring + probing + fused
     scan + id translation. One dispatch per search call — the reference pays
     one kernel launch per stage (IVFPQIndex.py:469-524); here XLA fuses the
@@ -94,7 +94,7 @@ def _search_full(q, coarse_codebook, decoded, norms, is_empty, cell_start,
         vals, addr = adc.scan_cell_major(
             q, cells, mask, decoded, norms, is_empty, cell_start,
             cell_capacity, k=k, distance=distance, s_max=s_max,
-            n_cells=n_cells, approx=approx)
+            n_cells=n_cells, approx=approx, impl=impl)
     ids = jnp.where(addr >= 0, address2id[jnp.maximum(addr, 0)], -1)
     return vals, ids, addr
 
@@ -127,6 +127,12 @@ class IVFPQIndex(CellContainer):
         self._fp16_scale_mode = "a"
         self._use_approx_topk = False
         self.scan_mode = scan_mode
+        # spill assignment (off by default; see _assign_cells)
+        self.spill_cells = 1
+        self.spill_capacity = None
+        # block-scan implementation: "xla" (lax.map + dynamic_slice) or
+        # "pallas" (fused double-buffered kernel; k <= 16)
+        self.scan_impl = "xla"
 
         cache_dtype = scan_cache_dtype or config.SCAN_CACHE_DTYPE
         self.add_aux_store("decoded", d_vector, cache_dtype)
@@ -266,6 +272,23 @@ class IVFPQIndex(CellContainer):
         return self.pq_codec.decode(x)
 
     # ---- ingestion (reference IVFPQIndex.py:316-364) ----
+    def _assign_cells(self, x):
+        """Coarse assignment, optionally with spill: when `spill_cells` > 1
+        and a cell is at `spill_capacity`, overflow items go to their
+        next-best cell. Bounded cells keep the scan's per-block window
+        (s_max) near the mean cell size — on TPU every probed cell pays for
+        s_max slots, so unbounded hot cells tax every query. Off by default
+        (reference semantics: always the argmax cell)."""
+        if self.spill_cells <= 1 or self.spill_capacity is None:
+            return np.asarray(self.vq_codec.encode(x))
+        from .. import native
+        l = self.spill_cells
+        _, top = self.vq_codec.kmeans.topk(x, k=l)
+        out, _ = native.spill_assign(
+            np.asarray(top), self._cell_size_np.copy(),
+            int(self.spill_capacity))
+        return out
+
     def add(self, x, ids=None, return_address=False):
         x = jnp.asarray(x).astype(jnp.float32)
         assert x.shape[0] == self.d_vector
@@ -273,7 +296,7 @@ class IVFPQIndex(CellContainer):
         if self.distance == "cosine":
             x = util.normalize(x, axis=0)
         x_nd = x.T
-        cells = self.vq_codec.encode(x)  # coarse assignment [n]
+        cells = self._assign_cells(x)  # coarse assignment [n]
         if self.pq_use_residual:
             recon = self.vq_codec.decode(cells).T  # [n, d]
             codes_nm = self.pq_codec.encode_nd(x_nd - recon)
@@ -332,7 +355,7 @@ class IVFPQIndex(CellContainer):
             k=int(k), n_probe=n_probe, use_smart=self._use_smart_probing,
             precision=precision, distance=self.distance,
             s_max=self.max_cell_capacity, n_cells=self.n_cells, mode=mode,
-            approx=self._use_approx_topk)
+            approx=self._use_approx_topk, impl=self.scan_impl)
         if return_address:
             return vals, ids, addr
         return vals, ids

@@ -240,10 +240,11 @@ def _sortable_i32_f32(key):
 @functools.partial(
     jax.jit,
     static_argnames=("k", "distance", "s_max", "n_cells", "p_tile",
-                     "block_chunk", "approx"))
+                     "block_chunk", "approx", "impl", "interpret"))
 def scan_cell_major(query, cells, probe_mask, decoded, norms, is_empty,
                     cell_start, cell_capacity, *, k, distance, s_max, n_cells,
-                    p_tile=256, block_chunk=8, approx=False):
+                    p_tile=256, block_chunk=8, approx=False, impl="xla",
+                    interpret=False):
     """Inverted-probe-list grouped-matmul scan.
 
     Probed (query, cell) pairs are sorted by cell and packed into blocks of up
@@ -313,72 +314,120 @@ def scan_cell_major(query, cells, probe_mask, decoded, norms, is_empty,
     cell_all = jnp.maximum(block_cell, 0)
     qidx_all = jnp.maximum(probers, 0)
     mm_dtype = decoded.dtype if decoded.dtype == jnp.bfloat16 else query.dtype
-    qvecs_all = query[qidx_all].astype(
-        mm_dtype if distance != "manhattan" else query.dtype)  # [B, p, d]
     start_all = cell_start[cell_all]  # [B]
     cap_all = cell_capacity[cell_all]  # [B]
     if distance == "euclidean":
         penalty_arr = jnp.where(is_empty, big, norms)  # [cap], one pass
-        q_sq_all = jnp.sum(jnp.square(query), axis=-1)[qidx_all]  # [B, p]
     else:
         penalty_arr = jnp.where(is_empty, big, 0.0)
-        q_sq_all = jnp.zeros(qidx_all.shape, jnp.float32)
     slot_iota = jnp.arange(s_max, dtype=jnp.int32)
 
     cap_total = decoded.shape[0]
     s_eff = min(s_max, cap_total)
+    d_dec = decoded.shape[1]
+    start_c_all = jnp.clip(start_all, 0, cap_total - s_eff)
+    off_all = start_all - start_c_all
 
-    def one_block(args):
-        qvecs, start, capc, q_sq = args  # [p, d], [], [], [p]
-        # keep the slice in-bounds ourselves: dynamic_slice silently clamps
-        # the start, which would shift the window and corrupt addresses
-        start_c = jnp.clip(start, 0, cap_total - s_eff)
-        off = start - start_c
-        cand = jax.lax.dynamic_slice(decoded, (start_c, 0),
-                                     (s_eff, decoded.shape[1]))
-        pen = jax.lax.dynamic_slice(penalty_arr, (start_c,), (s_eff,))
-        # slots outside [off, off + capc) hold *other* cells' live items:
-        # their scores would be correct but duplicated -> mask by capacity
-        in_cell = (slot_iota[:s_eff] >= off) & (slot_iota[:s_eff] < off + capc)
-        pen = pen + jnp.where(in_cell, 0.0, big)
-        if distance == "manhattan":
-            scores = -jnp.sum(
-                jnp.abs(qvecs[:, None, :] - cand[None, :, :].astype(
-                    qvecs.dtype)), axis=-1)
-            scores = scores - pen[None, :]
-        else:
-            ab = jnp.einsum("pd,sd->ps", qvecs, cand.astype(qvecs.dtype),
-                            preferred_element_type=jnp.float32)
-            scores = (2.0 * ab if distance == "euclidean" else ab)
-            scores = scores - pen[None, :]
-        if approx and k_pair < s_eff:
-            vals, idx = jax.lax.approx_max_k(scores, k_pair)
-        else:
-            vals, idx = jax.lax.top_k(scores, k_pair)
-        baddr = start_c + idx  # candidate address is arithmetic — no gather
-        alive = vals > -big / 2
-        if distance == "euclidean":
-            vals = vals - q_sq[:, None]  # true -(q-y)^2 values
-        vals = jnp.where(alive, vals, -jnp.inf)
-        baddr = jnp.where(alive, baddr, -1)
-        # pack (value, address) as [k] order-preserving int32 keys + [k]
-        # addresses so the unsort permutation moves ONE array, not two
-        # (the permutation runs at gather speed; halving ops halves time)
-        return jnp.concatenate([_f32_sortable_i32(vals), baddr], axis=-1)
+    # NOTE: the per-query -|q|^2 euclidean correction is rank-invariant per
+    # query; both impls skip it in the hot loop and the final merge applies
+    # it to the k winners.
 
-    combo = jax.lax.map(
-        one_block, (qvecs_all, start_all, cap_all, q_sq_all))
+    use_pallas = (
+        impl == "pallas" and distance != "manhattan" and k_pair <= 16
+        and nq * d * 4 <= 6 * 2 ** 20)  # f32 query table must fit VMEM
+    if use_pallas:
+        from .pallas_scan import scan_blocks_pallas
+
+        # stage the per-block penalty rows in XLA (4 B/slot — cheap even at
+        # the scan loop's ~26 GB/s slice rate); the kernel DMAs only the
+        # 64x bigger candidate windows
+        def pen_chunk(args):
+            start_c, off, capc = args  # [bc] each
+            pen = jnp.stack([
+                jax.lax.dynamic_slice(penalty_arr, (start_c[i],), (s_eff,))
+                for i in range(block_chunk)])
+            in_cell = ((slot_iota[None, :s_eff] >= off[:, None])
+                       & (slot_iota[None, :s_eff] < (off + capc)[:, None]))
+            return pen + jnp.where(in_cell, 0.0, big)
+
+        nbc = b_max // block_chunk
+        pen_all = jax.lax.map(
+            pen_chunk,
+            (start_c_all.reshape(nbc, block_chunk),
+             off_all.reshape(nbc, block_chunk),
+             cap_all.reshape(nbc, block_chunk))).reshape(b_max, s_eff)
+        combo = scan_blocks_pallas(
+            query, qidx_all, start_c_all, pen_all, decoded,
+            s_eff=s_eff, k_pair=k_pair, p_tile=p_tile, distance=distance,
+            interpret=interpret)
+    else:
+        qvecs_all = query[qidx_all].astype(
+            mm_dtype if distance != "manhattan" else query.dtype)  # [B,p,d]
+        def one_chunk(args):
+            # block_chunk blocks per scan iteration: the scan loop's
+            # per-step operand DMAs don't pipeline (measured ~26 GB/s
+            # effective), so bigger steps amortize the stall
+            qvecs, start_c, off, capc = args  # [bc,p,d], [bc], [bc], [bc]
+            cand = jnp.stack([
+                jax.lax.dynamic_slice(decoded, (start_c[i], 0),
+                                      (s_eff, d_dec))
+                for i in range(block_chunk)])  # [bc, s, d]
+            pen = jnp.stack([
+                jax.lax.dynamic_slice(penalty_arr, (start_c[i],), (s_eff,))
+                for i in range(block_chunk)])  # [bc, s]
+            # slots outside [off, off + capc) hold *other* cells' live
+            # items: correct scores but duplicated -> mask by capacity
+            in_cell = ((slot_iota[None, :s_eff] >= off[:, None])
+                       & (slot_iota[None, :s_eff] < (off + capc)[:, None]))
+            pen = pen + jnp.where(in_cell, 0.0, big)
+            if distance == "manhattan":
+                scores = -jnp.sum(
+                    jnp.abs(qvecs[:, :, None, :]
+                            - cand[:, None, :, :].astype(qvecs.dtype)),
+                    axis=-1)
+                scores = scores - pen[:, None, :]
+            else:
+                ab = jnp.einsum("bpd,bsd->bps", qvecs,
+                                cand.astype(qvecs.dtype),
+                                preferred_element_type=jnp.float32)
+                scores = (2.0 * ab if distance == "euclidean" else ab)
+                scores = scores - pen[:, None, :]
+            if approx and k_pair < s_eff:
+                vals, idx = jax.lax.approx_max_k(scores, k_pair)
+            else:
+                vals, idx = jax.lax.top_k(scores, k_pair)
+            baddr = start_c[:, None, None] + idx  # address is arithmetic
+            alive = vals > -big / 2
+            vals = jnp.where(alive, vals, -jnp.inf)
+            baddr = jnp.where(alive, baddr, -1)
+            # pack (value, address) as [k] order-preserving int32 keys +
+            # [k] addresses so the unsort permutation moves ONE array
+            return jnp.concatenate([_f32_sortable_i32(vals), baddr],
+                                   axis=-1)
+
+        nbc = b_max // block_chunk
+        combo = jax.lax.map(
+            one_chunk,
+            (qvecs_all.reshape(nbc, block_chunk, p_tile, d),
+             start_c_all.reshape(nbc, block_chunk),
+             off_all.reshape(nbc, block_chunk),
+             cap_all.reshape(nbc, block_chunk)))
+        combo = combo.reshape(b_max, p_tile, 2 * k_pair)
     # [b_max, p_tile, 2 * k_pair]
 
     # ---- unsort per-pair partials back to [nq, n_probe, k_pair] ----
-    safe_block = jnp.minimum(pair_block, b_max - 1)
-    pc = combo[safe_block, pair_slot]  # [n_pairs, 2k] in sorted order
-    live = pair_block < b_max
+    # one row-gather via the inverse permutation (a gather+scatter pair
+    # would double the payload traffic, which dominates at high n_probe)
+    inv = jnp.zeros((n_pairs,), jnp.int32).at[order].set(
+        jnp.arange(n_pairs, dtype=jnp.int32))  # original pair -> sorted pos
+    bo = pair_block[inv]
+    so = pair_slot[inv]
+    live = bo < b_max
+    pc = combo[jnp.minimum(bo, b_max - 1), so]  # [n_pairs, 2k], orig order
     neg = jnp.int32(jnp.iinfo(jnp.int32).min)
     fill = jnp.concatenate([jnp.full(k_pair, neg, jnp.int32),
                             jnp.full(k_pair, -1, jnp.int32)])
-    pc = jnp.where(live[:, None], pc, fill[None, :])
-    out = jnp.broadcast_to(fill, (n_pairs, 2 * k_pair)).at[order].set(pc)
+    out = jnp.where(live[:, None], pc, fill[None, :])
 
     # ---- final exact merge per query ----
     out = out.reshape(nq, n_probe, 2 * k_pair)
@@ -389,6 +438,9 @@ def scan_cell_major(query, cells, probe_mask, decoded, norms, is_empty,
     fa = jnp.take_along_axis(addrs, fi, axis=1)
     fv = _sortable_i32_f32(fk)
     fa = jnp.where(jnp.isfinite(fv), fa, -1)
+    if distance == "euclidean":
+        # rank-invariant per-query correction deferred from the hot loop
+        fv = fv - jnp.sum(jnp.square(query), axis=-1)[:, None]
     fv = jnp.where(jnp.isfinite(fv), fv, -jnp.inf)
     if kk < k:
         fv = jnp.pad(fv, ((0, 0), (0, k - kk)), constant_values=-jnp.inf)
