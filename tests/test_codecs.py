@@ -115,3 +115,23 @@ def test_codec_save_load(tmp_path, rng):
     assert pq2.is_trained
     np.testing.assert_array_equal(
         np.asarray(pq2.encode(jnp.asarray(x))), code_before)
+
+
+def test_pq4bit_codec(rng):
+    """4-bit PQ (16 clusters/subquantizer) — reference's ivfpq4 variant
+    (kernels/cuda/ivfpq4_top1_v1.cu, K=16 LUT, two codes per byte)."""
+    import jax.numpy as jnp
+    d, n, m = 32, 500, 8
+    x = rng.normal(size=(d, n)).astype(np.float32)
+    pq = PQCodec(d_vector=d, n_subvectors=m, n_clusters=16)
+    pq.train(jnp.asarray(x))
+    code = pq.encode(jnp.asarray(x))
+    assert int(np.asarray(code).max()) < 16
+    rec = np.asarray(pq.decode(code))
+    assert ((rec - x) ** 2).mean() < (x ** 2).mean()
+    # nibble packing round trip
+    from torchpq_tpu.codec.pq import pack_nibbles, unpack_nibbles
+    packed = pack_nibbles(code)
+    assert packed.shape == (m // 2, n)
+    np.testing.assert_array_equal(np.asarray(unpack_nibbles(packed)),
+                                  np.asarray(code))

@@ -56,6 +56,24 @@ class MultiKMeans(StateModule):
     def is_trained(self):
         return self._centroids is not None
 
+    # -- memory probing (reference KMeans.py:119-141) --
+    @staticmethod
+    def remaining_memory(device=None):
+        """Free device memory in bytes (best effort; reference
+        KMeans.remaining_memory probes the CUDA allocator)."""
+        import jax
+        dev = device or jax.devices()[0]
+        try:
+            stats = dev.memory_stats()
+            return stats["bytes_limit"] - stats["bytes_in_use"]
+        except Exception:
+            return 1 << 33  # unknown backend: assume 8 GiB
+
+    @staticmethod
+    def does_it_fit(size, device=None, dtype=jnp.float32):
+        return (size * jnp.dtype(dtype).itemsize
+                < KMeans.remaining_memory(device))
+
     # -- static similarity helpers (reference KMeans.py:153-222) --
     @staticmethod
     def cos_sim(a, b):

@@ -107,3 +107,24 @@ class PQCodec(BaseCodec):
         assert self.is_trained, "codec is not trained"
         return _decode_nd(jnp.asarray(codes_nm), self.codebook_internal,
                           m=self.n_subvectors, dsub=self.d_subvector)
+
+
+def pack_nibbles(codes):
+    """Pack 4-bit codes [m, n] (values < 16) into [m//2, n] bytes — the
+    reference's two-codes-per-byte 4-bit PQ layout (ivfpq4_top1_v1.cu,
+    IVFPQ4Top1Cuda_v1.py:17-28)."""
+    codes = jnp.asarray(codes)
+    assert codes.shape[0] % 2 == 0
+    hi = codes[0::2].astype(jnp.uint8)
+    lo = codes[1::2].astype(jnp.uint8)
+    return hi * 16 + lo
+
+
+def unpack_nibbles(packed):
+    """Inverse of pack_nibbles: [m//2, n] -> [m, n]."""
+    packed = jnp.asarray(packed)
+    m2, n = packed.shape
+    out = jnp.zeros((m2 * 2, n), jnp.uint8)
+    out = out.at[0::2].set(packed // 16)
+    out = out.at[1::2].set(packed % 16)
+    return out

@@ -17,3 +17,9 @@ from .ivfpq import IVFPQ, IVFPQR
 from .pq import PQ
 from .sq import SQ
 from .ivfpq_topk import IVFPQTopk
+
+# previous-generation clustering names kept by the reference "for reference"
+# (torchpq/clustering/KMeansOld.py, MultiKMeansOld.py — same API, older
+# internals there; here they alias the current implementations)
+from ..clustering import KMeans as KMeansOld
+from ..clustering import MultiKMeans as MultiKMeansOld

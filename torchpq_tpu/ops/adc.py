@@ -243,7 +243,7 @@ def _sortable_i32_f32(key):
                      "block_chunk", "approx", "impl", "interpret"))
 def scan_cell_major(query, cells, probe_mask, decoded, norms, is_empty,
                     cell_start, cell_capacity, *, k, distance, s_max, n_cells,
-                    p_tile=256, block_chunk=8, approx=False, impl="xla",
+                    p_tile=128, block_chunk=8, approx=False, impl="xla",
                     interpret=False):
     """Inverted-probe-list grouped-matmul scan.
 
