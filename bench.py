@@ -18,6 +18,12 @@ import os
 import sys
 import time
 
+# persistent XLA compile cache: this environment's compiler takes 15-60s per
+# program; the cache turns repeat runs' train/add compile cost into ~nothing
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/torchpq_tpu_jax"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
 import numpy as np
 
 import jax
