@@ -18,16 +18,19 @@ import os
 import sys
 import time
 
-# persistent XLA compile cache: this environment's compiler takes 15-60s per
-# program; the cache turns repeat runs' train/add compile cost into ~nothing
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      os.path.expanduser("~/.cache/torchpq_tpu_jax"))
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
-
 import numpy as np
 
 import jax
 import jax.numpy as jnp
+
+# persistent XLA compile cache (compiles here take 15-60s per program; the
+# cache makes repeat runs' train/add compile cost ~nothing). NOTE: must go
+# through jax.config — this environment's sitecustomize imports jax at
+# interpreter startup, so env vars are already frozen.
+_cache_dir = os.path.expanduser("~/.cache/torchpq_tpu_jax")
+os.makedirs(_cache_dir, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def make_data(n_base, n_query, d, seed=0, n_centers=1000, intrinsic=8):
@@ -162,6 +165,26 @@ def main():
               f"-> {qps:,.0f} q/s  recall@{args.k}={rec:.4f}",
               file=sys.stderr)
 
+    # warm (steady-state) build times: all programs compiled, measuring pure
+    # execution — what a production ingest pipeline pays per batch
+    index2 = IVFPQIndex(d_vector=d, n_subvectors=m, n_cells=n_cells,
+                        distance="euclidean",
+                        initial_size=max(16, (n_base // n_cells) * 2))
+    t0 = time.perf_counter()
+    index2.train(jnp.asarray(base[:train_n].T))
+    jax.effects_barrier()
+    train_warm_s = time.perf_counter() - t0
+    index2.spill_cells = 4
+    index2.spill_capacity = index2.max_cell_capacity
+    t0 = time.perf_counter()
+    for i in range(0, n_base, add_chunk):
+        index2.add(jnp.asarray(base[i:i + add_chunk].T))
+    jax.effects_barrier()
+    add_warm_s = time.perf_counter() - t0
+    print(f"[bench] warm train: {train_warm_s:.2f}s  warm add: "
+          f"{add_warm_s:.2f}s ({n_base / add_warm_s:.0f} vec/s)",
+          file=sys.stderr)
+
     # Headline: QPS at the reference's operating point, defined recall-
     # relative: TorchPQ's published headline (143,092 q/s, n_probe=32) sits
     # at recall 0.950 = 95.5% of its own ADC ceiling (~0.995 at n_probe=128).
@@ -192,6 +215,10 @@ def main():
             f"recall@n_probe={args.n_probe}": round(rec32, 4),
             "train_s": round(train_s, 2),
             "add_s": round(add_s, 2),
+            "train_warm_s": round(train_warm_s, 2),
+            "add_warm_s": round(add_warm_s, 2),
+            "baseline_train_s_T4": 4.45,
+            "baseline_add_s_T4": 10.72,
             "n_base": n_base,
             "n_query": n_query,
             "sweep": {str(p): {"qps": round(v, 0), "recall": round(r, 4)}

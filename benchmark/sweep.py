@@ -17,13 +17,19 @@ import sys
 import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      os.path.expanduser("~/.cache/torchpq_tpu_jax"))
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+# persistent XLA compile cache (compiles here take 15-60s per program; the
+# cache makes repeat runs' train/add compile cost ~nothing). NOTE: must go
+# through jax.config — this environment's sitecustomize imports jax at
+# interpreter startup, so env vars are already frozen.
+_cache_dir = os.path.expanduser("~/.cache/torchpq_tpu_jax")
+os.makedirs(_cache_dir, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def main():

@@ -282,8 +282,12 @@ class IVFPQIndex(CellContainer):
         if self.spill_cells <= 1 or self.spill_capacity is None:
             return np.asarray(self.vq_codec.encode(x))
         from .. import native
+        from ..ops.max_sim import topk_sim
         l = self.spill_cells
-        _, top = self.vq_codec.kmeans.topk(x, k=l)
+        _, top = topk_sim(
+            jnp.asarray(x).T.astype(jnp.float32),
+            self.vq_codec.kmeans._centroids[0], l, "euclidean",
+            approx=self._use_approx_topk)
         out, _ = native.spill_assign(
             np.asarray(top), self._cell_size_np.copy(),
             int(self.spill_capacity))

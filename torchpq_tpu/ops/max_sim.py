@@ -64,12 +64,16 @@ def max_sim(data, centroids, distance, precision=None, chunk=None):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("k_top", "distance", "chunk", "precision"))
-def _topk_sim_jit(data, centroids, *, k_top, distance, chunk, precision):
+                   static_argnames=("k_top", "distance", "chunk", "precision",
+                                    "approx"))
+def _topk_sim_jit(data, centroids, *, k_top, distance, chunk, precision,
+                  approx=False):
     n, d = data.shape
 
     def one(b):
         sim = _scores_2d(b, centroids, distance, precision)
+        if approx and k_top < sim.shape[-1]:
+            return jax.lax.approx_max_k(sim, k_top)
         return jax.lax.top_k(sim, k_top)
 
     if n <= chunk:
@@ -79,15 +83,17 @@ def _topk_sim_jit(data, centroids, *, k_top, distance, chunk, precision):
     return vals.reshape(-1, k_top)[:n], idx.reshape(-1, k_top)[:n]
 
 
-def topk_sim(data, centroids, k_top, distance, precision=None, chunk=None):
+def topk_sim(data, centroids, k_top, distance, precision=None, chunk=None,
+             approx=False):
     """Per-row top-k over centroids (reference TopkBMMCuda / KMeans.topk,
-    clustering/KMeans.py:449-480)."""
+    clustering/KMeans.py:449-480). approx uses the TPU-native approximate
+    top-k (exact lax.top_k is a full sort)."""
     distance = canonical_distance(distance)
     k_top = min(int(k_top), centroids.shape[0])
     if chunk is None:
         chunk = _chunk_rows(config.MAX_SIM_CHUNK_ELEMS, centroids.shape[0])
     return _topk_sim_jit(data, centroids, k_top=k_top, distance=distance,
-                         chunk=chunk, precision=precision)
+                         chunk=chunk, precision=precision, approx=approx)
 
 
 def _scores_batched(b, centroids, distance, precision):
