@@ -121,6 +121,7 @@ def main():
     # in the reported numbers)
     index.spill_cells = 4
     index.spill_capacity = index.max_cell_capacity
+    index.scan_group = 4  # supercell grouping (see ops/adc.py)
 
     t0 = time.perf_counter()
     index.train(jnp.asarray(base[:train_n].T))
@@ -176,6 +177,7 @@ def main():
     train_warm_s = time.perf_counter() - t0
     index2.spill_cells = 4
     index2.spill_capacity = index2.max_cell_capacity
+    index2.scan_group = 4
     t0 = time.perf_counter()
     for i in range(0, n_base, add_chunk):
         index2.add(jnp.asarray(base[i:i + add_chunk].T))

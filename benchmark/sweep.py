@@ -74,6 +74,7 @@ def main():
     index.use_approx_topk = True
     index.spill_cells = 4
     index.spill_capacity = index.max_cell_capacity
+    index.scan_group = 4  # supercell grouping (see ops/adc.py)
 
     t0 = time.perf_counter()
     index.train(jnp.asarray(learn.T))

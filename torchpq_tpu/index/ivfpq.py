@@ -73,11 +73,11 @@ def _coarse_probe(query, coarse_codebook, temperature, *, n_probe, use_smart,
 @functools.partial(
     jax.jit,
     static_argnames=("k", "n_probe", "use_smart", "precision", "distance",
-                     "s_max", "n_cells", "mode", "approx", "impl"))
+                     "s_max", "n_cells", "mode", "approx", "impl", "group"))
 def _search_full(q, coarse_codebook, decoded, norms, is_empty, cell_start,
                  cell_capacity, address2id, temperature, *, k, n_probe,
                  use_smart, precision, distance, s_max, n_cells, mode,
-                 approx, impl="xla"):
+                 approx, impl="xla", group=1):
     """The whole query path in one jit: coarse scoring + probing + fused
     scan + id translation. One dispatch per search call — the reference pays
     one kernel launch per stage (IVFPQIndex.py:469-524); here XLA fuses the
@@ -94,7 +94,7 @@ def _search_full(q, coarse_codebook, decoded, norms, is_empty, cell_start,
         vals, addr = adc.scan_cell_major(
             q, cells, mask, decoded, norms, is_empty, cell_start,
             cell_capacity, k=k, distance=distance, s_max=s_max,
-            n_cells=n_cells, approx=approx, impl=impl)
+            n_cells=n_cells, approx=approx, impl=impl, group=group)
     ids = jnp.where(addr >= 0, address2id[jnp.maximum(addr, 0)], -1)
     return vals, ids, addr
 
@@ -133,6 +133,9 @@ class IVFPQIndex(CellContainer):
         # block-scan implementation: "xla" (lax.map + dynamic_slice) or
         # "pallas" (fused double-buffered kernel; k <= 16)
         self.scan_impl = "xla"
+        # supercell grouping: scan `scan_group` adjacent cells per block
+        # (fewer, larger window DMAs; extra scored neighbors only help recall)
+        self.scan_group = 1
 
         cache_dtype = scan_cache_dtype or config.SCAN_CACHE_DTYPE
         self.add_aux_store("decoded", d_vector, cache_dtype)
@@ -359,7 +362,8 @@ class IVFPQIndex(CellContainer):
             k=int(k), n_probe=n_probe, use_smart=self._use_smart_probing,
             precision=precision, distance=self.distance,
             s_max=self.max_cell_capacity, n_cells=self.n_cells, mode=mode,
-            approx=self._use_approx_topk, impl=self.scan_impl)
+            approx=self._use_approx_topk, impl=self.scan_impl,
+            group=self.scan_group)
         if return_address:
             return vals, ids, addr
         return vals, ids

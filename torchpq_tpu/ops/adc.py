@@ -240,11 +240,11 @@ def _sortable_i32_f32(key):
 @functools.partial(
     jax.jit,
     static_argnames=("k", "distance", "s_max", "n_cells", "p_tile",
-                     "block_chunk", "approx", "impl", "interpret"))
+                     "block_chunk", "approx", "impl", "interpret", "group"))
 def scan_cell_major(query, cells, probe_mask, decoded, norms, is_empty,
                     cell_start, cell_capacity, *, k, distance, s_max, n_cells,
                     p_tile=128, block_chunk=8, approx=False, impl="xla",
-                    interpret=False):
+                    interpret=False, group=1):
     """Inverted-probe-list grouped-matmul scan.
 
     Probed (query, cell) pairs are sorted by cell and packed into blocks of up
@@ -270,6 +270,32 @@ def scan_cell_major(query, cells, probe_mask, decoded, norms, is_empty,
     nq, n_probe = cells.shape
     d = query.shape[-1]
     n_pairs = nq * n_probe
+
+    # ---- supercell grouping ----
+    # Adjacent cells are contiguous in storage, so a group of `group` cells
+    # is one contiguous window: grouping cuts the block count (and the number
+    # of window DMAs, which are latency-bound) by ~`group` at the cost of
+    # scoring `group`x more candidates per probe — all of them *valid*
+    # neighbors with correct scores and addresses, so recall only improves.
+    if group > 1:
+        n_super = util.cdiv(n_cells, group)
+        super_start = cell_start[::group]  # [n_super]
+        cap_total_ = decoded.shape[0]
+        super_cap = jnp.diff(jnp.concatenate(
+            [super_start, jnp.array([cap_total_], super_start.dtype)]))
+        sup = jnp.where(probe_mask, cells // group, n_super)
+        # dedup per query row (two probed cells may share a supercell)
+        sup_sorted = jnp.sort(sup, axis=1)
+        dup = jnp.concatenate(
+            [jnp.zeros((nq, 1), bool),
+             sup_sorted[:, 1:] == sup_sorted[:, :-1]], axis=1)
+        cells = jnp.where(dup, n_super, sup_sorted).astype(jnp.int32)
+        probe_mask = cells < n_super
+        cell_start = super_start
+        cell_capacity = super_cap
+        n_cells = n_super
+        s_max = min(s_max * group, cap_total_)
+
     k_pair = min(k, s_max, decoded.shape[0])
     # static block budget: sum_c ceil(P_c / p_tile) <= distinct_cells + P/p_tile
     b_max = min(n_cells, n_pairs) + util.cdiv(n_pairs, p_tile)
