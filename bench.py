@@ -119,7 +119,7 @@ def main():
     # bounded cells: overflow spills to the next-best cell so the scan's
     # per-block window stays at the mean cell size (recall effect shows up
     # in the reported numbers)
-    index.spill_cells = 4
+    index.spill_cells = 8
     index.spill_capacity = index.max_cell_capacity
     index.scan_group = 4  # supercell grouping (see ops/adc.py)
 
@@ -175,7 +175,7 @@ def main():
     index2.train(jnp.asarray(base[:train_n].T))
     jax.effects_barrier()
     train_warm_s = time.perf_counter() - t0
-    index2.spill_cells = 4
+    index2.spill_cells = 8
     index2.spill_capacity = index2.max_cell_capacity
     index2.scan_group = 4
     t0 = time.perf_counter()

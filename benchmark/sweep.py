@@ -72,7 +72,7 @@ def main():
         distance=args.distance, pq_use_residual=args.residual,
         initial_size=max(16, (len(base) // args.n_cells) * 2))
     index.use_approx_topk = True
-    index.spill_cells = 4
+    index.spill_cells = 8
     index.spill_capacity = index.max_cell_capacity
     index.scan_group = 4  # supercell grouping (see ops/adc.py)
 

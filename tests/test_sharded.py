@@ -70,3 +70,21 @@ def test_data_parallel_lloyd_step(rng):
         data[labels == j].mean(0) if (labels == j).any() else cents[j]
         for j in range(k)])
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_sharded_add_then_search(rng):
+    index, x, ids = _filled_index(rng, n=800, n_cells=16)
+    index.n_probe = 8
+    index.use_smart_probing = False
+    searcher = ShardedIVFPQSearcher(index, mesh=get_mesh(8))
+    # add NEW vectors through the sharded path
+    y = rng.normal(size=(200, 32)).astype(np.float32)
+    new_ids = np.asarray(searcher.add(jnp.asarray(y.T)))
+    assert len(np.unique(new_ids)) == 200
+    v, got = searcher.search(jnp.asarray(y.T), k=3)
+    hit = (np.asarray(got) == new_ids[:, None]).any(1).mean()
+    assert hit > 0.9, hit
+    # originals still findable
+    v, got0 = searcher.search(jnp.asarray(x[:50].T), k=3)
+    hit0 = (np.asarray(got0) == ids[:50, None]).any(1).mean()
+    assert hit0 > 0.9, hit0

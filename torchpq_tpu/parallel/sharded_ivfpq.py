@@ -81,6 +81,33 @@ def _sharded_search(mesh, decoded, norms, is_empty, cell_start, cell_capacity,
               codebook, q, temperature)
 
 
+@functools.partial(jax.jit, static_argnames=("mesh", "axis"),
+                   donate_argnums=(1, 2, 3, 4))
+def _sharded_add(mesh, decoded, norms, is_empty, ids_sh, rows, row_norms,
+                 shard_of, slots, new_ids, *, axis):
+    """Scatter a replicated batch into the sharded stores: each shard takes
+    the items whose shard_of matches its mesh index."""
+    cap_sh = decoded.shape[1]
+
+    def local(dec, nrm, emp, ids, rows, row_norms, shard_of, slots, new_ids):
+        my = jax.lax.axis_index(axis)
+        tgt = jnp.where(shard_of == my, slots, cap_sh)  # foreign -> dropped
+        dec = dec.at[0, tgt].set(rows.astype(dec.dtype), mode="drop")
+        nrm = nrm.at[0, tgt].set(row_norms, mode="drop")
+        emp = emp.at[0, tgt].set(False, mode="drop")
+        ids = ids.at[0, tgt].set(new_ids, mode="drop")
+        return dec, nrm, emp, ids
+
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(), P(), P(), P(),
+                  P()),
+        out_specs=(P(axis), P(axis), P(axis), P(axis)),
+        check_vma=False)
+    return fn(decoded, norms, is_empty, ids_sh, rows, row_norms, shard_of,
+              slots, new_ids)
+
+
 class ShardedIVFPQSearcher:
     def __init__(self, index, mesh=None, scan_mode="cell_major", p_tile=128):
         self.index = index
@@ -144,6 +171,121 @@ class ShardedIVFPQSearcher:
         repl = NamedSharding(self.mesh, P())
         self.codebook = jax.device_put(
             idx.vq_codec.kmeans._centroids[0], repl)
+        # host shadows for sharded add routing: next free slot per local
+        # cell = occupied count (holes from prior removals are not reused by
+        # the sharded path; they stay masked empty)
+        occ = ~emp_sh
+        self._lstart_np = lstart
+        self._lcap_np = lcap
+        self._next_free = np.zeros((d_count, c_loc), np.int64)
+        for s in range(d_count):
+            for j in range(c_loc):
+                a, w = lstart[s, j], lcap[s, j]
+                self._next_free[s, j] = occ[s, a:a + w].sum()
+
+    def _grow_local(self, need):
+        """Re-layout the sharded stores with grown capacities for the local
+        cells in `need` {(shard, local_cell): required}. One functional
+        host-side rebuild, pow2 growth (multi-chip analog of
+        CellContainer._relayout)."""
+        d_count = self.n_shards
+        c_loc = self.cells_per_shard
+        new_caps = self._lcap_np.copy().astype(np.int64)
+        for (s, lc), req in need.items():
+            new_caps[s, lc] = max(util.next_pow2(req), new_caps[s, lc])
+        new_start = np.zeros_like(new_caps)
+        new_start[:, 1:] = np.cumsum(new_caps[:, :-1], axis=1)
+        cap_sh = util.next_pow2(int(new_caps.sum(axis=1).max()))
+
+        old = {name: np.asarray(getattr(self, name))
+               for name in ("decoded", "norms", "is_empty", "ids")}
+        fills = {"decoded": 0, "norms": 0, "is_empty": True, "ids": -1}
+        new = {}
+        for name, arr in old.items():
+            shape = (d_count, cap_sh) + arr.shape[2:]
+            new[name] = np.full(shape, fills[name], arr.dtype)
+        for s in range(d_count):
+            for lc in range(c_loc):
+                a, w = self._lstart_np[s, lc], self._lcap_np[s, lc]
+                b = new_start[s, lc]
+                for name, arr in old.items():
+                    new[name][s, b:b + w] = arr[s, a:a + w]
+        shard = NamedSharding(self.mesh, P(self.axis))
+        for name in old:
+            setattr(self, name, jax.device_put(jnp.asarray(new[name]), shard))
+        self.cell_start = jax.device_put(
+            jnp.asarray(new_start.astype(np.int32)), shard)
+        self.cell_capacity = jax.device_put(
+            jnp.asarray(new_caps.astype(np.int32)), shard)
+        self._lstart_np = new_start
+        self._lcap_np = new_caps
+        self.s_max = int(new_caps.max())
+
+    def add(self, x, ids=None):
+        """Route new vectors to their owning shards and append them.
+
+        The multi-chip counterpart of IVFPQIndex.add (SURVEY.md §5.8 "adds
+        route vectors to the owning shard"): coarse-assign + PQ-encode on the
+        replicated codecs, compute every item's (shard, slot) on the host
+        from the per-shard occupancy shadows, then one sharded scatter —
+        each shard keeps only its own items (mask by cell % D).
+        Cells must have room (use spill/bounded cells); overflow raises.
+        """
+        idx = self.index
+        d_count = self.n_shards
+        x = jnp.asarray(x).astype(jnp.float32)
+        if self.distance == "cosine":
+            x = util.normalize(x, axis=0)
+        n = x.shape[1]
+        cells = np.asarray(idx.vq_codec.encode(x)).astype(np.int64)
+        if idx.pq_use_residual:
+            recon = idx.vq_codec.decode(cells).T
+            codes_nm = idx.pq_codec.encode_nd(x.T - recon)
+            decoded_rows = recon + idx.pq_codec.decode_nd(codes_nm)
+        else:
+            codes_nm = idx.pq_codec.encode_nd(x.T)
+            decoded_rows = idx.pq_codec.decode_nd(codes_nm)
+        norms_rows = jnp.sum(jnp.square(decoded_rows), axis=-1)
+        if ids is None:
+            base_id = int(np.asarray(self.ids).max()) + 1
+            ids = np.arange(base_id, base_id + n, dtype=np.int64)
+        else:
+            ids = np.asarray(ids, dtype=np.int64)
+
+        # host routing: slot per item within its (shard, local cell)
+        shard_of = cells % d_count
+        order = np.argsort(cells, kind="stable")
+        sorted_cells = cells[order]
+        runs = np.flatnonzero(np.r_[True, sorted_cells[1:]
+                                    != sorted_cells[:-1]])
+        run_bounds = list(zip(runs, np.r_[runs[1:], n]))
+        # grow overflowing local cells first (one re-layout for all)
+        need = {}
+        for r0, r1 in run_bounds:
+            c = sorted_cells[r0]
+            s, lc = int(c % d_count), int(c // d_count)
+            req = self._next_free[s, lc] + (r1 - r0)
+            if req > self._lcap_np[s, lc]:
+                need[(s, lc)] = int(req)
+        if need:
+            self._grow_local(need)
+        slots = np.empty(n, np.int64)
+        for r0, r1 in run_bounds:
+            c = sorted_cells[r0]
+            s, lc = int(c % d_count), int(c // d_count)
+            cnt = r1 - r0
+            nf = self._next_free[s, lc]
+            slots[order[r0:r1]] = (self._lstart_np[s, lc]
+                                   + nf + np.arange(cnt))
+            self._next_free[s, lc] += cnt
+
+        self.decoded, self.norms, self.is_empty, self.ids = _sharded_add(
+            self.mesh, self.decoded, self.norms, self.is_empty, self.ids,
+            decoded_rows, norms_rows,
+            jnp.asarray(shard_of.astype(np.int32)),
+            jnp.asarray(slots.astype(np.int32)),
+            jnp.asarray(ids), axis=self.axis)
+        return jnp.asarray(ids)
 
     def search(self, x, k=1):
         """x: [d_vector, nq] -> (values [nq, k], ids [nq, k]); executes the
