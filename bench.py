@@ -58,21 +58,34 @@ def make_data(n_base, n_query, d, seed=0, n_centers=1000, intrinsic=8):
     return sample(n_base), sample(n_query)
 
 
-def brute_force_topk(base, query, k, chunk=512, cache_key=None):
-    """Exact L2 ground truth on the host (numpy BLAS + argpartition).
+def brute_force_topk(base, query, k, chunk=512, cache_key=None,
+                     metric="euclidean"):
+    """Exact ground truth on the host (numpy BLAS + argpartition).
 
     Exact top-k on TPU is sort-based and prohibitively slow at 1M width;
     the host computes it in minutes and the result is cached on disk.
+    metric: euclidean | inner | cosine (cosine = normalize + inner).
     """
     if cache_key is not None:
-        path = f"/tmp/gt_{cache_key}_{len(base)}_{len(query)}_{k}.npy"
+        path = f"/tmp/gt_{cache_key}_{metric}_{len(base)}_{len(query)}_{k}.npy"
         if os.path.exists(path):
             return np.load(path)
+    if metric == "cosine":
+        base = base / np.linalg.norm(base, axis=1, keepdims=True)
+        query = query / np.linalg.norm(query, axis=1, keepdims=True)
     b_sq = (base * base).sum(1)
     outs = []
     for i in range(0, len(query), chunk):
         q = query[i:i + chunk]
-        s = 2.0 * (q @ base.T) - b_sq[None, :]
+        if metric == "euclidean":
+            s = 2.0 * (q @ base.T) - b_sq[None, :]
+        elif metric in ("inner", "cosine"):
+            s = q @ base.T
+        elif metric == "manhattan":
+            assert len(base) <= 100_000, "manhattan GT only at small scale"
+            s = -np.abs(q[:, None, :] - base[None, :, :]).sum(-1)
+        else:
+            raise ValueError(metric)
         part = np.argpartition(-s, k, axis=1)[:, :k]
         ps = np.take_along_axis(s, part, axis=1)
         order = np.argsort(-ps, axis=1)
@@ -113,7 +126,7 @@ def main():
 
     index = IVFPQIndex(d_vector=d, n_subvectors=m, n_cells=n_cells,
                        distance="euclidean",
-                       initial_size=max(16, (n_base // n_cells) * 2))
+                       initial_size=max(16, (n_base // n_cells) * 3))
     index.n_probe = args.n_probe
     index.use_approx_topk = True  # TPU-native top-k; recall reported below
     # bounded cells: overflow spills to the next-best cell so the scan's
@@ -170,7 +183,7 @@ def main():
     # execution — what a production ingest pipeline pays per batch
     index2 = IVFPQIndex(d_vector=d, n_subvectors=m, n_cells=n_cells,
                         distance="euclidean",
-                        initial_size=max(16, (n_base // n_cells) * 2))
+                        initial_size=max(16, (n_base // n_cells) * 3))
     t0 = time.perf_counter()
     index2.train(jnp.asarray(base[:train_n].T))
     jax.effects_barrier()

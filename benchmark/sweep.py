@@ -70,7 +70,7 @@ def main():
     index = IVFPQIndex(
         d_vector=d, n_subvectors=args.n_subvectors, n_cells=args.n_cells,
         distance=args.distance, pq_use_residual=args.residual,
-        initial_size=max(16, (len(base) // args.n_cells) * 2))
+        initial_size=max(16, (len(base) // args.n_cells) * 3))
     index.use_approx_topk = True
     index.spill_cells = 8
     index.spill_capacity = index.max_cell_capacity
@@ -88,7 +88,8 @@ def main():
     print(f"train {train_s:.1f}s add {add_s:.1f}s", file=sys.stderr)
 
     k_max = max(args.ks)
-    gt = brute_force_topk(base, query, k_max, cache_key=f"sweep_{name}")
+    gt = brute_force_topk(base, query, k_max, cache_key=f"sweep_{name}",
+                          metric=args.distance)
     ids_map = np.arange(len(base))
     qj = jnp.asarray(query.T)
 
