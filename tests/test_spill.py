@@ -61,3 +61,18 @@ def test_supercell_grouping_superset(rng):
     hit4 = (np.asarray(got4) == ids[:200, None]).any(1).mean()
     assert hit4 >= hit1 - 1e-9, (hit1, hit4)
     assert hit4 > 0.95
+
+
+def test_int8_scan_cache(rng):
+    d, n = 16, 2000
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    idx = IVFPQIndex(d_vector=d, n_subvectors=4, n_cells=16,
+                     initial_size=256, scan_cache_dtype="int8")
+    idx.train(jnp.asarray(x.T))
+    ids = np.asarray(idx.add(jnp.asarray(x.T)))
+    idx.n_probe = 4
+    idx.use_smart_probing = False
+    _, got = idx.search(jnp.asarray(x[:200].T), k=5)
+    hit = (np.asarray(got) == ids[:200, None]).any(1).mean()
+    assert hit > 0.9, hit
+    assert idx.aux("decoded").dtype == jnp.int8

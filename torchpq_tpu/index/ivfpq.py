@@ -77,7 +77,7 @@ def _coarse_probe(query, coarse_codebook, temperature, *, n_probe, use_smart,
 def _search_full(q, coarse_codebook, decoded, norms, is_empty, cell_start,
                  cell_capacity, address2id, temperature, *, k, n_probe,
                  use_smart, precision, distance, s_max, n_cells, mode,
-                 approx, impl="xla", group=1):
+                 approx, impl="xla", group=1, scales=None):
     """The whole query path in one jit: coarse scoring + probing + fused
     scan + id translation. One dispatch per search call — the reference pays
     one kernel launch per stage (IVFPQIndex.py:469-524); here XLA fuses the
@@ -94,7 +94,8 @@ def _search_full(q, coarse_codebook, decoded, norms, is_empty, cell_start,
         vals, addr = adc.scan_cell_major(
             q, cells, mask, decoded, norms, is_empty, cell_start,
             cell_capacity, k=k, distance=distance, s_max=s_max,
-            n_cells=n_cells, approx=approx, impl=impl, group=group)
+            n_cells=n_cells, approx=approx, impl=impl, group=group,
+            scales=scales)
     ids = jnp.where(addr >= 0, address2id[jnp.maximum(addr, 0)], -1)
     return vals, ids, addr
 
@@ -140,6 +141,10 @@ class IVFPQIndex(CellContainer):
         cache_dtype = scan_cache_dtype or config.SCAN_CACHE_DTYPE
         self.add_aux_store("decoded", d_vector, cache_dtype)
         self.add_aux_store("norm", 1, "float32")
+        self._int8_cache = str(cache_dtype) == "int8"
+        if self._int8_cache:
+            # per-slot symmetric dequant scale for the int8 decoded cache
+            self.add_aux_store("scale", 1, "float32")
 
         # reference codec hyperparameters (IVFPQIndex.py:63-79)
         self.register_module("vq_codec", VQCodec(
@@ -312,9 +317,18 @@ class IVFPQIndex(CellContainer):
             codes_nm = self.pq_codec.encode_nd(x_nd)
             decoded = self.pq_codec.decode_nd(codes_nm)
         norms = jnp.sum(jnp.square(decoded), axis=-1, keepdims=True)
+        aux_rows = {"norm": norms}
+        if self._int8_cache:
+            absmax = jnp.maximum(
+                jnp.max(jnp.abs(decoded), axis=-1, keepdims=True), 1e-12)
+            aux_rows["scale"] = absmax / 127.0
+            aux_rows["decoded"] = jnp.round(
+                decoded / aux_rows["scale"]).astype(jnp.int8)
+        else:
+            aux_rows["decoded"] = decoded
         return super().add(
             codes_nm.T, cells, ids=ids, return_address=return_address,
-            aux_rows={"decoded": decoded, "norm": norms})
+            aux_rows=aux_rows)
 
     # ---- search (reference IVFPQIndex.py:407-524) ----
     def search_cells(self, x, cells, probe_mask=None, k=1,
@@ -354,6 +368,8 @@ class IVFPQIndex(CellContainer):
         if mode == "auto":
             mode = ("query_major" if nq < self._ivfpq_topk.batch_threshold
                     else "cell_major")
+        if self._int8_cache:
+            mode = "cell_major"  # int8 path lives in the cell-major scan
         vals, ids, addr = _search_full(
             q, self.vq_codec.kmeans._centroids[0],
             self.aux("decoded"), self.aux("norm")[:, 0], self._is_empty,
@@ -363,7 +379,8 @@ class IVFPQIndex(CellContainer):
             precision=precision, distance=self.distance,
             s_max=self.max_cell_capacity, n_cells=self.n_cells, mode=mode,
             approx=self._use_approx_topk, impl=self.scan_impl,
-            group=self.scan_group)
+            group=self.scan_group,
+            scales=self.aux("scale")[:, 0] if self._int8_cache else None)
         if return_address:
             return vals, ids, addr
         return vals, ids

@@ -244,7 +244,7 @@ def _sortable_i32_f32(key):
 def scan_cell_major(query, cells, probe_mask, decoded, norms, is_empty,
                     cell_start, cell_capacity, *, k, distance, s_max, n_cells,
                     p_tile=128, block_chunk=8, approx=False, impl="xla",
-                    interpret=False, group=1):
+                    interpret=False, group=1, scales=None):
     """Inverted-probe-list grouped-matmul scan.
 
     Probed (query, cell) pairs are sorted by cell and packed into blocks of up
@@ -339,7 +339,21 @@ def scan_cell_major(query, cells, probe_mask, decoded, norms, is_empty,
     big = jnp.float32(jnp.finfo(jnp.float32).max / 4)
     cell_all = jnp.maximum(block_cell, 0)
     qidx_all = jnp.maximum(probers, 0)
-    mm_dtype = decoded.dtype if decoded.dtype == jnp.bfloat16 else query.dtype
+    int8_cache = decoded.dtype == jnp.int8
+    if int8_cache:
+        # symmetric per-query / per-slot int8 quantization: the candidate
+        # dequant scale rides the same per-slot stream as the penalty; the
+        # per-query scale multiplies whole rows (applied in the epilogue)
+        assert scales is not None, "int8 cache needs per-slot scales"
+        mm_dtype = jnp.int8
+        q_absmax = jnp.maximum(jnp.max(jnp.abs(query), axis=-1), 1e-12)
+        q_scale_all = (q_absmax / 127.0)  # [nq]
+        query_q = jnp.round(query / q_scale_all[:, None]).astype(jnp.int8)
+    else:
+        mm_dtype = (decoded.dtype if decoded.dtype == jnp.bfloat16
+                    else query.dtype)
+        query_q = query
+        q_scale_all = None
     start_all = cell_start[cell_all]  # [B]
     cap_all = cell_capacity[cell_all]  # [B]
     if distance == "euclidean":
@@ -360,6 +374,7 @@ def scan_cell_major(query, cells, probe_mask, decoded, norms, is_empty,
 
     use_pallas = (
         impl == "pallas" and distance != "manhattan" and k_pair <= 16
+        and not int8_cache
         and nq * d * 4 <= 6 * 2 ** 20)  # f32 query table must fit VMEM
     if use_pallas:
         from .pallas_scan import scan_blocks_pallas
@@ -387,13 +402,17 @@ def scan_cell_major(query, cells, probe_mask, decoded, norms, is_empty,
             s_eff=s_eff, k_pair=k_pair, p_tile=p_tile, distance=distance,
             interpret=interpret)
     else:
-        qvecs_all = query[qidx_all].astype(
+        qvecs_all = query_q[qidx_all].astype(
             mm_dtype if distance != "manhattan" else query.dtype)  # [B,p,d]
+
         def one_chunk(args):
             # block_chunk blocks per scan iteration: the scan loop's
             # per-step operand DMAs don't pipeline (measured ~26 GB/s
             # effective), so bigger steps amortize the stall
-            qvecs, start_c, off, capc = args  # [bc,p,d], [bc], [bc], [bc]
+            if int8_cache:
+                qvecs, start_c, off, capc, q_sc = args
+            else:
+                qvecs, start_c, off, capc = args
             cand = jnp.stack([
                 jax.lax.dynamic_slice(decoded, (start_c[i], 0),
                                       (s_eff, d_dec))
@@ -412,6 +431,16 @@ def scan_cell_major(query, cells, probe_mask, decoded, norms, is_empty,
                             - cand[:, None, :, :].astype(qvecs.dtype)),
                     axis=-1)
                 scores = scores - pen[:, None, :]
+            elif int8_cache:
+                cand_sc = jnp.stack([
+                    jax.lax.dynamic_slice(scales, (start_c[i],), (s_eff,))
+                    for i in range(block_chunk)])  # [bc, s]
+                ab = jnp.einsum("bpd,bsd->bps", qvecs, cand,
+                                preferred_element_type=jnp.int32
+                                ).astype(jnp.float32)
+                factor = 2.0 if distance == "euclidean" else 1.0
+                ab = ab * (factor * q_sc[:, :, None] * cand_sc[:, None, :])
+                scores = ab - pen[:, None, :]
             else:
                 ab = jnp.einsum("bpd,bsd->bps", qvecs,
                                 cand.astype(qvecs.dtype),
@@ -432,12 +461,14 @@ def scan_cell_major(query, cells, probe_mask, decoded, norms, is_empty,
                                    axis=-1)
 
         nbc = b_max // block_chunk
-        combo = jax.lax.map(
-            one_chunk,
-            (qvecs_all.reshape(nbc, block_chunk, p_tile, d),
-             start_c_all.reshape(nbc, block_chunk),
-             off_all.reshape(nbc, block_chunk),
-             cap_all.reshape(nbc, block_chunk)))
+        xs = [qvecs_all.reshape(nbc, block_chunk, p_tile, d),
+              start_c_all.reshape(nbc, block_chunk),
+              off_all.reshape(nbc, block_chunk),
+              cap_all.reshape(nbc, block_chunk)]
+        if int8_cache:
+            xs.append(q_scale_all[qidx_all].reshape(
+                nbc, block_chunk, p_tile))
+        combo = jax.lax.map(one_chunk, tuple(xs))
         combo = combo.reshape(b_max, p_tile, 2 * k_pair)
     # [b_max, p_tile, 2 * k_pair]
 
