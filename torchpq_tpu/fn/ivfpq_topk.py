@@ -21,12 +21,14 @@ class IVFPQTopk:
         self.approx = approx
 
     def topk(self, query, cells, probe_mask, decoded, norms, is_empty,
-             cell_start, cell_capacity, *, k, distance, s_max):
+             cell_start, cell_capacity, *, k, distance, s_max, scales=None):
         """Returns (values [nq, k] f32, addresses [nq, k] i32; -1 padding)."""
         nq = query.shape[0]
         mode = self.mode
         if mode == "auto":
             mode = "query_major" if nq < self.batch_threshold else "cell_major"
+        if scales is not None:
+            mode = "cell_major"  # int8 cache path
         if mode == "query_major":
             return adc.scan_query_major(
                 query, cells, probe_mask, decoded, norms, is_empty,
@@ -35,4 +37,5 @@ class IVFPQTopk:
         return adc.scan_cell_major(
             query, cells, probe_mask, decoded, norms, is_empty,
             cell_start, cell_capacity, k=k, distance=distance, s_max=s_max,
-            n_cells=self.n_cells, p_tile=self.p_tile, approx=self.approx)
+            n_cells=self.n_cells, p_tile=self.p_tile, approx=self.approx,
+            scales=scales)

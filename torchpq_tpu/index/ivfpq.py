@@ -142,6 +142,8 @@ class IVFPQIndex(CellContainer):
         self.add_aux_store("decoded", d_vector, cache_dtype)
         self.add_aux_store("norm", 1, "float32")
         self._int8_cache = str(cache_dtype) == "int8"
+        assert not (self._int8_cache and self.distance == "manhattan"), \
+            "int8 scan cache does not support manhattan distance"
         if self._int8_cache:
             # per-slot symmetric dequant scale for the int8 decoded cache
             self.add_aux_store("scale", 1, "float32")
@@ -343,7 +345,8 @@ class IVFPQIndex(CellContainer):
             q, cells, probe_mask,
             self.aux("decoded"), self.aux("norm")[:, 0], self._is_empty,
             self._cell_start, self._cell_capacity,
-            k=int(k), distance=self.distance, s_max=self.max_cell_capacity)
+            k=int(k), distance=self.distance, s_max=self.max_cell_capacity,
+            scales=self.aux("scale")[:, 0] if self._int8_cache else None)
         ids = self.get_id_by_address(addr)
         ids = jnp.where(addr >= 0, ids, -1)
         if return_address:
