@@ -196,3 +196,23 @@ def test_similarity_at_id(rng):
     addr = np.asarray(index.get_address_by_id(ids[:7]))
     want = -((q[:, None] - decoded[addr][None]) ** 2).sum(-1)
     np.testing.assert_allclose(sims, want, rtol=1e-3, atol=1e-3)
+
+
+def test_scan_after_remove_and_readd(rng):
+    """Holes from removals must never surface in results (penalty masking),
+    and reused slots must score their new occupants."""
+    index, x, ids = _make_index(rng, n=600, n_cells=8)
+    index.n_probe = 8
+    index.use_smart_probing = False
+    index.remove(ids=ids[::3])
+    removed = set(int(i) for i in ids[::3])
+    v, got = index.search(jnp.asarray(x[:100].T), k=10)
+    g = np.asarray(got)
+    assert not (np.isin(g[np.asarray(np.isfinite(v))],
+                        list(removed))).any()
+    # re-add different vectors into the holes
+    y = rng.normal(size=(200, index.d_vector)).astype(np.float32)
+    new_ids = np.asarray(index.add(jnp.asarray(y.T)))
+    v2, got2 = index.search(jnp.asarray(y[:50].T), k=5)
+    hit = (np.asarray(got2) == new_ids[:50, None]).any(1).mean()
+    assert hit > 0.9
