@@ -109,8 +109,8 @@ def main():
         recalls = {f"recall@{k}": round(
             recall_at_k(pred_np[:, :k], gt[:, :k], ids_map, k), 4)
             for k in args.ks}
-        entry = {"n_probe": n_probe, "qps": round(len(query) / dt, 1),
-                 **recalls}
+        entry = {"n_probe": n_probe, "k": k_max,
+                 "qps": round(len(query) / dt, 1), **recalls}
         entries.append(entry)
         print(entry, file=sys.stderr)
 

@@ -88,3 +88,13 @@ def test_sharded_add_then_search(rng):
     v, got0 = searcher.search(jnp.asarray(x[:50].T), k=3)
     hit0 = (np.asarray(got0) == ids[:50, None]).any(1).mean()
     assert hit0 > 0.9, hit0
+
+
+def test_sharded_search_with_group(rng):
+    index, x, ids = _filled_index(rng, n=800, n_cells=16)
+    index.n_probe = 4
+    index.use_smart_probing = False
+    s1 = ShardedIVFPQSearcher(index, mesh=get_mesh(8), scan_group=2)
+    v, got = s1.search(jnp.asarray(x[:50].T), k=3)
+    hit = (np.asarray(got) == ids[:50, None]).any(1).mean()
+    assert hit > 0.9, hit

@@ -34,10 +34,10 @@ from .mesh import get_mesh
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "axis", "k", "n_probe", "use_smart", "distance",
-                     "s_max", "c_loc", "mode", "p_tile"))
+                     "s_max", "c_loc", "mode", "p_tile", "group"))
 def _sharded_search(mesh, decoded, norms, is_empty, cell_start, cell_capacity,
                     ids_sh, codebook, q, temperature, *, axis, k, n_probe,
-                    use_smart, distance, s_max, c_loc, mode, p_tile):
+                    use_smart, distance, s_max, c_loc, mode, p_tile, group=1):
     d_count = mesh.devices.size
 
     def local(dec, nrm, emp, cstart, ccap, ids, codebook, q, temperature):
@@ -55,7 +55,7 @@ def _sharded_search(mesh, decoded, norms, is_empty, cell_start, cell_capacity,
             vals, addr = adc.scan_cell_major(
                 q, local_cells, local_mask, dec, nrm, emp, cstart, ccap,
                 k=k, distance=distance, s_max=s_max, n_cells=c_loc,
-                p_tile=p_tile)
+                p_tile=p_tile, group=group)
         else:
             vals, addr = adc.scan_query_major(
                 q, local_cells, local_mask, dec, nrm, emp, cstart, ccap,
@@ -109,7 +109,8 @@ def _sharded_add(mesh, decoded, norms, is_empty, ids_sh, rows, row_norms,
 
 
 class ShardedIVFPQSearcher:
-    def __init__(self, index, mesh=None, scan_mode="cell_major", p_tile=128):
+    def __init__(self, index, mesh=None, scan_mode="cell_major", p_tile=128,
+                 scan_group=1):
         self.index = index
         self.mesh = mesh if mesh is not None else get_mesh()
         self.axis = self.mesh.axis_names[0]
@@ -117,6 +118,7 @@ class ShardedIVFPQSearcher:
         self.distance = index.distance
         self.scan_mode = scan_mode
         self.p_tile = p_tile
+        self.scan_group = scan_group
         self._build_state()
 
     def _build_state(self):
@@ -303,7 +305,7 @@ class ShardedIVFPQSearcher:
             axis=self.axis, k=int(k), n_probe=n_probe,
             use_smart=idx.use_smart_probing, distance=self.distance,
             s_max=util.next_pow2(self.s_max), c_loc=self.cells_per_shard,
-            mode=self.scan_mode, p_tile=self.p_tile)
+            mode=self.scan_mode, p_tile=self.p_tile, group=self.scan_group)
 
 
 def data_parallel_lloyd_step(mesh, data_sharded, centroids, distance,
