@@ -49,6 +49,9 @@ def main():
     ap.add_argument("--n-probes", type=int, nargs="+",
                     default=[1, 2, 4, 8, 16, 32, 64, 128])
     ap.add_argument("--repeats", type=int, default=5)
+    ap.add_argument("--initial-mult", type=int, default=3)
+    ap.add_argument("--cache", default=None,
+                    help="scan cache dtype: bfloat16|int8|float32")
     args = ap.parse_args()
 
     from bench import make_data, brute_force_topk, recall_at_k
@@ -70,7 +73,8 @@ def main():
     index = IVFPQIndex(
         d_vector=d, n_subvectors=args.n_subvectors, n_cells=args.n_cells,
         distance=args.distance, pq_use_residual=args.residual,
-        initial_size=max(16, (len(base) // args.n_cells) * 3))
+        initial_size=max(16, (len(base) // args.n_cells) * args.initial_mult),
+        scan_cache_dtype=args.cache)
     index.use_approx_topk = True
     index.spill_cells = 8
     index.spill_capacity = index.max_cell_capacity
