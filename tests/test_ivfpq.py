@@ -216,3 +216,50 @@ def test_scan_after_remove_and_readd(rng):
     v2, got2 = index.search(jnp.asarray(y[:50].T), k=5)
     hit = (np.asarray(got2) == new_ids[:50, None]).any(1).mean()
     assert hit > 0.9
+
+
+def test_cell_major_approx_pack32_matches_exact(rng):
+    """approx=True engages the packed-int32 merge (ops/adc.py pack32);
+    results must agree with the exact path up to approx-top-k recall and
+    the 12-bit value quantization."""
+    index, x, ids = _make_index(rng, n=2000, n_cells=16)
+    nq, k, n_probe = 32, 10, 6
+    q = rng.normal(size=(nq, index.d_vector)).astype(np.float32)
+    index.use_smart_probing = False
+    index.scan_mode = "cell_major"
+
+    index.use_approx_topk = False
+    v_exact, id_exact = index.search(jnp.asarray(q.T), k=k)
+    index.use_approx_topk = True
+    v_pack, id_pack = index.search(jnp.asarray(q.T), k=k)
+
+    v_exact, v_pack = np.asarray(v_exact), np.asarray(v_pack)
+    overlap = np.mean([
+        len(np.intersect1d(a, b)) / k
+        for a, b in zip(np.asarray(id_exact), np.asarray(id_pack))])
+    assert overlap > 0.9, f"overlap {overlap}"
+    # value agreement on the overlapping prefix (quantization ~2^-11 rel)
+    np.testing.assert_allclose(v_pack[:, 0], v_exact[:, 0],
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_cell_major_pack32_with_group_and_int8(rng):
+    """pack32 composes with supercell grouping and the int8 cache."""
+    index, x, ids = _make_index(rng, n=1500, n_cells=16, cache="int8")
+    nq, k = 16, 8
+    q = rng.normal(size=(nq, index.d_vector)).astype(np.float32)
+    index.use_smart_probing = False
+    index.n_probe = 6
+    index.scan_mode = "cell_major"
+    index.scan_group = 2
+    index.use_approx_topk = True
+    vals, got = index.search(jnp.asarray(q.T), k=k)
+
+    index.use_approx_topk = False
+    index.scan_group = 1
+    v2, want = index.search(jnp.asarray(q.T), k=k)
+    # grouping scans a superset of cells; require strong top-k overlap
+    overlap = np.mean([
+        len(np.intersect1d(a, b)) / k
+        for a, b in zip(np.asarray(got), np.asarray(want))])
+    assert overlap > 0.8, f"overlap {overlap}"

@@ -13,7 +13,9 @@ from ..ops import adc
 class IVFPQTopk:
     def __init__(self, n_cells, mode="auto", batch_threshold=256,
                  p_tile=128, approx=False):
-        assert mode in ("auto", "query_major", "cell_major")
+        # "flat" is handled by IVFPQIndex.search (no probe lists); with
+        # explicit cells (topk below) it degrades to the cell-major scan
+        assert mode in ("auto", "query_major", "cell_major", "flat")
         self.n_cells = n_cells
         self.mode = mode
         self.batch_threshold = batch_threshold
@@ -25,7 +27,7 @@ class IVFPQTopk:
         """Returns (values [nq, k] f32, addresses [nq, k] i32; -1 padding)."""
         nq = query.shape[0]
         mode = self.mode
-        if mode == "auto":
+        if mode in ("auto", "flat"):
             mode = "query_major" if nq < self.batch_threshold else "cell_major"
         if scales is not None:
             mode = "cell_major"  # int8 cache path

@@ -81,8 +81,22 @@ def _search_full(q, coarse_codebook, decoded, norms, is_empty, cell_start,
     """The whole query path in one jit: coarse scoring + probing + fused
     scan + id translation. One dispatch per search call — the reference pays
     one kernel launch per stage (IVFPQIndex.py:469-524); here XLA fuses the
-    glue and the host never touches intermediates."""
+    glue and the host never touches intermediates.
+
+    mode="flat" bypasses probing entirely and brute-forces the decoded cache
+    on the MXU (ops/flat_adc.py) — recall equals the full ADC ceiling; on TPU
+    this outruns the IVF scan at high n_probe."""
     from ..ops import adc
+    if mode == "flat":
+        from ..ops.flat_adc import flat_adc_scan
+        big = jnp.float32(jnp.finfo(jnp.float32).max / 4)
+        penalty = jnp.where(is_empty, big,
+                            norms if distance == "euclidean" else 0.0)
+        vals, addr = flat_adc_scan(q, decoded, penalty, k=k,
+                                   distance=distance, approx=approx,
+                                   scales=scales)
+        ids = jnp.where(addr >= 0, address2id[jnp.maximum(addr, 0)], -1)
+        return vals, ids, addr
     _, cells, mask = _coarse_probe(
         q, coarse_codebook, temperature, n_probe=n_probe,
         use_smart=use_smart, precision=precision, approx=approx)
@@ -371,7 +385,7 @@ class IVFPQIndex(CellContainer):
         if mode == "auto":
             mode = ("query_major" if nq < self._ivfpq_topk.batch_threshold
                     else "cell_major")
-        if self._int8_cache:
+        if self._int8_cache and mode != "flat":
             mode = "cell_major"  # int8 path lives in the cell-major scan
         vals, ids, addr = _search_full(
             q, self.vq_codec.kmeans._centroids[0],

@@ -376,6 +376,15 @@ def scan_cell_major(query, cells, probe_mask, decoded, norms, is_empty,
         impl == "pallas" and distance != "manhattan" and k_pair <= 16
         and not int8_cache
         and nq * d * 4 <= 6 * 2 ** 20)  # f32 query table must fit VMEM
+
+    # pack32: one int32 per candidate (truncated sortable value | slot)
+    # instead of (key, addr) pairs — halves the unsort-gather payload. The
+    # value loses log2(s_pow2) mantissa bits, well below bf16 scoring noise;
+    # only engaged in approx mode (exact mode keeps bit-exact values).
+    s_pow2 = max(1, 1 << (s_eff - 1).bit_length())
+    pack32 = approx and not use_pallas and s_pow2 <= 4096
+    slot_mask = s_pow2 - 1
+    key_neg_big = _f32_sortable_i32(-big) & jnp.int32(~slot_mask)
     if use_pallas:
         from .pallas_scan import scan_blocks_pallas
 
@@ -451,9 +460,19 @@ def scan_cell_major(query, cells, probe_mask, decoded, norms, is_empty,
                 vals, idx = jax.lax.approx_max_k(scores, k_pair)
             else:
                 vals, idx = jax.lax.top_k(scores, k_pair)
-            baddr = start_c[:, None, None] + idx  # address is arithmetic
             alive = vals > -big / 2
+            if pack32:
+                # one int32 per candidate: top (32 - slot_bits) bits of the
+                # order-preserving key | in-window slot. Halves the unsort
+                # payload; the value loses slot_bits mantissa bits
+                # (~2^-11 relative — far below the bf16 scoring noise) and
+                # the address is rebuilt as start[pair] + slot after the
+                # final merge.
+                key = _f32_sortable_i32(vals)
+                packed = (key & jnp.int32(~slot_mask)) | idx
+                return jnp.where(alive, packed, key_neg_big)
             vals = jnp.where(alive, vals, -jnp.inf)
+            baddr = start_c[:, None, None] + idx  # address is arithmetic
             baddr = jnp.where(alive, baddr, -1)
             # pack (value, address) as [k] order-preserving int32 keys +
             # [k] addresses so the unsort permutation moves ONE array
@@ -469,8 +488,8 @@ def scan_cell_major(query, cells, probe_mask, decoded, norms, is_empty,
             xs.append(q_scale_all[qidx_all].reshape(
                 nbc, block_chunk, p_tile))
         combo = jax.lax.map(one_chunk, tuple(xs))
-        combo = combo.reshape(b_max, p_tile, 2 * k_pair)
-    # [b_max, p_tile, 2 * k_pair]
+        combo = combo.reshape(b_max, p_tile,
+                              k_pair if pack32 else 2 * k_pair)
 
     # ---- unsort per-pair partials back to [nq, n_probe, k_pair] ----
     # one row-gather via the inverse permutation (a gather+scatter pair
@@ -480,25 +499,51 @@ def scan_cell_major(query, cells, probe_mask, decoded, norms, is_empty,
     bo = pair_block[inv]
     so = pair_slot[inv]
     live = bo < b_max
-    pc = combo[jnp.minimum(bo, b_max - 1), so]  # [n_pairs, 2k], orig order
-    neg = jnp.int32(jnp.iinfo(jnp.int32).min)
-    fill = jnp.concatenate([jnp.full(k_pair, neg, jnp.int32),
-                            jnp.full(k_pair, -1, jnp.int32)])
-    out = jnp.where(live[:, None], pc, fill[None, :])
+    bo_safe = jnp.minimum(bo, b_max - 1)
+    kk = min(k, n_probe * k_pair)
 
-    # ---- final exact merge per query ----
-    out = out.reshape(nq, n_probe, 2 * k_pair)
-    keys = out[:, :, :k_pair].reshape(nq, n_probe * k_pair)
-    addrs = out[:, :, k_pair:].reshape(nq, n_probe * k_pair)
-    kk = min(k, keys.shape[-1])
-    fk, fi = jax.lax.top_k(keys, kk)
-    fa = jnp.take_along_axis(addrs, fi, axis=1)
-    fv = _sortable_i32_f32(fk)
-    fa = jnp.where(jnp.isfinite(fv), fa, -1)
+    if pack32:
+        pc = combo[bo_safe, so]  # [n_pairs, k_pair], original pair order
+        out = jnp.where(live[:, None], pc, key_neg_big)
+        pair_start = jnp.where(live, start_c_all[bo_safe], 0)  # [n_pairs]
+        keys = out.reshape(nq, n_probe * k_pair)
+        starts_q = pair_start.reshape(nq, n_probe)
+        # selection on the decoded (noisy-low-bits) values — monotone in the
+        # packed keys, so ranking matches an int32 sort of the keys
+        sel = _sortable_i32_f32(keys)
+        if kk < keys.shape[-1]:
+            fvs, fi = jax.lax.approx_max_k(sel, kk)
+        else:
+            fvs, fi = jax.lax.top_k(sel, kk)
+        packed_w = jnp.take_along_axis(keys, fi, axis=1)
+        slot = packed_w & jnp.int32(slot_mask)
+        start_w = jnp.take_along_axis(starts_q, fi // k_pair, axis=1)
+        alive = fvs > -big / 2
+        fv = _sortable_i32_f32(packed_w & jnp.int32(~slot_mask))
+        fa = jnp.where(alive, start_w + slot, -1)
+        fv = jnp.where(alive, fv, -jnp.inf)
+    else:
+        pc = combo[bo_safe, so]  # [n_pairs, 2k], orig order
+        neg = jnp.int32(jnp.iinfo(jnp.int32).min)
+        fill = jnp.concatenate([jnp.full(k_pair, neg, jnp.int32),
+                                jnp.full(k_pair, -1, jnp.int32)])
+        out = jnp.where(live[:, None], pc, fill[None, :])
+
+        # ---- final exact merge per query ----
+        out = out.reshape(nq, n_probe, 2 * k_pair)
+        keys = out[:, :, :k_pair].reshape(nq, n_probe * k_pair)
+        addrs = out[:, :, k_pair:].reshape(nq, n_probe * k_pair)
+        fk, fi = jax.lax.top_k(keys, kk)
+        fa = jnp.take_along_axis(addrs, fi, axis=1)
+        fv = _sortable_i32_f32(fk)
+        fa = jnp.where(jnp.isfinite(fv), fa, -1)
+        fv = jnp.where(jnp.isfinite(fv), fv, -jnp.inf)
+
     if distance == "euclidean":
         # rank-invariant per-query correction deferred from the hot loop
-        fv = fv - jnp.sum(jnp.square(query), axis=-1)[:, None]
-    fv = jnp.where(jnp.isfinite(fv), fv, -jnp.inf)
+        fv = jnp.where(jnp.isfinite(fv),
+                       fv - jnp.sum(jnp.square(query), axis=-1)[:, None],
+                       fv)
     if kk < k:
         fv = jnp.pad(fv, ((0, 0), (0, k - kk)), constant_values=-jnp.inf)
         fa = jnp.pad(fa, ((0, 0), (0, k - kk)), constant_values=-1)

@@ -1,0 +1,115 @@
+"""Flat (exhaustive) ADC scan over the decoded cache.
+
+Reference counterpart: torchpq's high-n_probe operating points (the published
+n_probe=128 row of benchmark/turing/sift1m) and the legacy full-list ADC
+scorer (kernels/cuda/compute_product.cu). On a GPU, exhaustive ADC needs the
+LUT-gather kernel; on TPU the decoded-cache identity (ops/adc.py) turns it
+into one dense [nq, d] x [d, cap] matmul sweep — pure MXU, zero gathers, no
+probe bookkeeping at all.
+
+Why this exists next to the IVF scans: at high n_probe the IVF scan's cost is
+dominated by per-pair bookkeeping (query-tile gathers, partial-top-k unsort,
+final merge), while the MXU can brute-force the *entire* cache in comparable
+time — recall then equals the full ADC ceiling (the best any probing setting
+can reach), i.e. strictly better than any n_probe at similar cost. IVF
+pruning (scan_cell_major) remains the win for low/mid n_probe; the index
+dispatches on the requested operating point.
+
+The sweep is chunked along the slot axis; each chunk takes a per-query
+approximate top-k fused into the matmul epilogue, and chunk winners merge
+with one exact top-k at the end (the same two-stage merge as the IVF scans).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .. import config
+from ..metric import canonical_distance
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "distance", "chunk", "approx"))
+def flat_adc_scan(query, decoded, penalty, *, k, distance, chunk=32768,
+                  approx=True, scales=None):
+    """query: [nq, d] f32 (preprocessed); decoded: [cap, d] bf16/f32/int8
+    row-major cache; penalty: [cap] f32 = norms (euclidean) or 0, with BIG at
+    empty slots; scales: [cap] f32 per-slot dequant scales (int8 cache only).
+
+    Returns (values [nq, k] f32, addresses [nq, k] i32, -1 padding). Values
+    are true similarities (the rank-invariant -|q|^2 euclidean term is added
+    after the merge, like the IVF scans).
+    """
+    distance = canonical_distance(distance)
+    nq, d = query.shape
+    cap = decoded.shape[0]
+    chunk = min(chunk, cap)
+    big = jnp.float32(jnp.finfo(jnp.float32).max / 4)
+
+    int8_cache = decoded.dtype == jnp.int8
+    if int8_cache:
+        assert scales is not None, "int8 cache needs per-slot scales"
+        assert distance != "manhattan"
+        q_absmax = jnp.maximum(jnp.max(jnp.abs(query), axis=-1), 1e-12)
+        q_scale = q_absmax / 127.0  # [nq]
+        q_mm = jnp.round(query / q_scale[:, None]).astype(jnp.int8)
+    elif decoded.dtype == jnp.bfloat16 and distance != "manhattan":
+        q_mm = query.astype(jnp.bfloat16)
+    else:
+        q_mm = query
+
+    n_chunks = -(-cap // chunk)
+    k_c = min(k, chunk)
+
+    def one(c0):
+        # the last chunk is clamped in-bounds; slots it shares with the
+        # previous chunk are masked so every slot is scored exactly once
+        c0c = jnp.minimum(c0, cap - chunk)
+        shift = c0 - c0c
+        block = jax.lax.dynamic_slice(decoded, (c0c, 0), (chunk, d))
+        pen = jax.lax.dynamic_slice(penalty, (c0c,), (chunk,))
+        pen = pen + jnp.where(jnp.arange(chunk) < shift, big, 0.0)
+        c0 = c0c
+        if distance == "manhattan":
+            s = -jnp.sum(
+                jnp.abs(query[:, None, :] - block[None, :, :]
+                        .astype(query.dtype)), axis=-1)
+            s = s - pen[None, :]
+        elif int8_cache:
+            sc = jax.lax.dynamic_slice(scales, (c0,), (chunk,))
+            ab = jax.lax.dot_general(
+                q_mm, block, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32).astype(jnp.float32)
+            factor = 2.0 if distance == "euclidean" else 1.0
+            s = ab * (factor * q_scale[:, None] * sc[None, :]) - pen[None, :]
+        else:
+            ab = jax.lax.dot_general(
+                q_mm, block.astype(q_mm.dtype), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            s = (2.0 * ab if distance == "euclidean" else ab) - pen[None, :]
+        if approx and k_c < chunk:
+            v, i = jax.lax.approx_max_k(s, k_c)
+        else:
+            v, i = jax.lax.top_k(s, k_c)
+        return v, (i + c0).astype(jnp.int32)
+
+    starts = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
+    vals, idx = jax.lax.map(one, starts)  # [nch, nq, k_c]
+    vals = jnp.moveaxis(vals, 0, 1).reshape(nq, n_chunks * k_c)
+    idx = jnp.moveaxis(idx, 0, 1).reshape(nq, n_chunks * k_c)
+    kk = min(k, vals.shape[-1])
+    fv, fi = jax.lax.top_k(vals, kk)
+    fa = jnp.take_along_axis(idx, fi, axis=1)
+    alive = fv > -big / 2
+    fv = jnp.where(alive, fv, -jnp.inf)
+    fa = jnp.where(alive, fa, -1)
+    if distance == "euclidean":
+        fv = jnp.where(alive,
+                       fv - jnp.sum(jnp.square(query), axis=-1)[:, None],
+                       -jnp.inf)
+    if kk < k:
+        fv = jnp.pad(fv, ((0, 0), (0, k - kk)), constant_values=-jnp.inf)
+        fa = jnp.pad(fa, ((0, 0), (0, k - kk)), constant_values=-1)
+    return fv, fa
