@@ -111,6 +111,13 @@ def main():
     ap.add_argument("--n-probe", type=int, default=32)
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--repeats", type=int, default=5)
+    ap.add_argument("--state", default=None,
+                    help="snapshot path: load the built index from here if "
+                         "present, else build and save (iteration aid — the "
+                         "axon AOT path bypasses jax's persistent compile "
+                         "cache, so train+add cost ~9 min per fresh run)")
+    ap.add_argument("--skip-build-metrics", action="store_true",
+                    help="with --state: skip the cold/warm build timing")
     args = ap.parse_args()
 
     from torchpq_tpu.index import IVFPQIndex
@@ -136,23 +143,35 @@ def main():
     index.spill_capacity = index.max_cell_capacity
     index.scan_group = 4  # supercell grouping (see ops/adc.py)
 
-    t0 = time.perf_counter()
-    index.train(jnp.asarray(base[:train_n].T))
-    jax.effects_barrier()
-    train_s = time.perf_counter() - t0
-    print(f"[bench] train: {train_s:.2f}s", file=sys.stderr)
+    if args.state and os.path.exists(args.state + ".npz"):
+        index.load(args.state + ".npz")
+        ids_map = np.load(args.state + ".ids.npy")
+        train_s = add_s = float("nan")
+        print(f"[bench] loaded index state from {args.state}",
+              file=sys.stderr)
+    else:
+        t0 = time.perf_counter()
+        index.train(jnp.asarray(base[:train_n]).T)
+        jax.effects_barrier()
+        train_s = time.perf_counter() - t0
+        print(f"[bench] train: {train_s:.2f}s", file=sys.stderr)
 
-    t0 = time.perf_counter()
-    add_chunk = 250_000
-    all_ids = []
-    for i in range(0, n_base, add_chunk):
-        all_ids.append(np.asarray(
-            index.add(jnp.asarray(base[i:i + add_chunk].T))))
-    jax.effects_barrier()
-    add_s = time.perf_counter() - t0
-    ids_map = np.concatenate(all_ids)
-    print(f"[bench] add: {add_s:.2f}s ({n_base / add_s:.0f} vec/s)",
-          file=sys.stderr)
+        t0 = time.perf_counter()
+        add_chunk = 250_000
+        all_ids = []
+        for i in range(0, n_base, add_chunk):
+            all_ids.append(np.asarray(
+                index.add(jnp.asarray(base[i:i + add_chunk]).T)))
+        jax.effects_barrier()
+        add_s = time.perf_counter() - t0
+        ids_map = np.concatenate(all_ids)
+        print(f"[bench] add: {add_s:.2f}s ({n_base / add_s:.0f} vec/s)",
+              file=sys.stderr)
+        if args.state:
+            index.save(args.state + ".npz")
+            np.save(args.state + ".ids.npy", ids_map)
+            print(f"[bench] saved index state to {args.state}",
+                  file=sys.stderr)
 
     true_idx = brute_force_topk(
         base, query, args.k,
@@ -161,10 +180,15 @@ def main():
 
     qj = jnp.asarray(query.T)
     sweep = {}
-    for n_probe in (1, 8, 32, 128):
-        if n_probe > n_cells:
+    for n_probe in (1, 8, 32, 128, "flat"):
+        if n_probe == "flat":
+            # exhaustive MXU sweep of the decoded cache (ops/flat_adc.py):
+            # the max-recall operating point (full ADC ceiling, no probing)
+            index.scan_mode = "flat"
+        elif n_probe > n_cells:
             continue
-        index.n_probe = n_probe
+        else:
+            index.n_probe = n_probe
         vals, pred = index.search(qj, k=args.k)  # warmup + compile
         jax.block_until_ready(vals)
         t0 = time.perf_counter()
@@ -178,27 +202,32 @@ def main():
         print(f"[bench] n_probe={n_probe}: {search_s * 1e3:.2f} ms "
               f"-> {qps:,.0f} q/s  recall@{args.k}={rec:.4f}",
               file=sys.stderr)
+    index.scan_mode = "auto"
 
     # warm (steady-state) build times: all programs compiled, measuring pure
     # execution — what a production ingest pipeline pays per batch
-    index2 = IVFPQIndex(d_vector=d, n_subvectors=m, n_cells=n_cells,
-                        distance="euclidean",
-                        initial_size=max(16, (n_base // n_cells) * 3))
-    t0 = time.perf_counter()
-    index2.train(jnp.asarray(base[:train_n].T))
-    jax.effects_barrier()
-    train_warm_s = time.perf_counter() - t0
-    index2.spill_cells = 8
-    index2.spill_capacity = index2.max_cell_capacity
-    index2.scan_group = 4
-    t0 = time.perf_counter()
-    for i in range(0, n_base, add_chunk):
-        index2.add(jnp.asarray(base[i:i + add_chunk].T))
-    jax.effects_barrier()
-    add_warm_s = time.perf_counter() - t0
-    print(f"[bench] warm train: {train_warm_s:.2f}s  warm add: "
-          f"{add_warm_s:.2f}s ({n_base / add_warm_s:.0f} vec/s)",
-          file=sys.stderr)
+    if args.state and args.skip_build_metrics:
+        train_warm_s = add_warm_s = float("nan")
+    else:
+        add_chunk = 250_000
+        index2 = IVFPQIndex(d_vector=d, n_subvectors=m, n_cells=n_cells,
+                            distance="euclidean",
+                            initial_size=max(16, (n_base // n_cells) * 3))
+        t0 = time.perf_counter()
+        index2.train(jnp.asarray(base[:train_n]).T)
+        jax.effects_barrier()
+        train_warm_s = time.perf_counter() - t0
+        index2.spill_cells = 8
+        index2.spill_capacity = index2.max_cell_capacity
+        index2.scan_group = 4
+        t0 = time.perf_counter()
+        for i in range(0, n_base, add_chunk):
+            index2.add(jnp.asarray(base[i:i + add_chunk]).T)
+        jax.effects_barrier()
+        add_warm_s = time.perf_counter() - t0
+        print(f"[bench] warm train: {train_warm_s:.2f}s  warm add: "
+              f"{add_warm_s:.2f}s ({n_base / add_warm_s:.0f} vec/s)",
+              file=sys.stderr)
 
     # Headline: QPS at the reference's operating point, defined recall-
     # relative: TorchPQ's published headline (143,092 q/s, n_probe=32) sits
@@ -210,7 +239,7 @@ def main():
     target = 0.955 * ceiling
     qual = [(p, v, r) for p, (v, r) in sweep.items() if r >= target]
     if qual:
-        p_at, qps_at, rec_at = min(qual, key=lambda t: t[0])
+        p_at, qps_at, rec_at = max(qual, key=lambda t: t[1])
     else:
         p_at = max(sweep, key=lambda p: sweep[p][1])
         qps_at, rec_at = sweep[p_at]

@@ -81,12 +81,12 @@ def main():
     index.scan_group = 4  # supercell grouping (see ops/adc.py)
 
     t0 = time.perf_counter()
-    index.train(jnp.asarray(learn.T))
+    index.train(jnp.asarray(learn).T)
     jax.effects_barrier()
     train_s = time.perf_counter() - t0
     t0 = time.perf_counter()
     for i in range(0, len(base), 250_000):
-        index.add(jnp.asarray(base[i:i + 250_000].T))
+        index.add(jnp.asarray(base[i:i + 250_000]).T)
     jax.effects_barrier()
     add_s = time.perf_counter() - t0
     print(f"train {train_s:.1f}s add {add_s:.1f}s", file=sys.stderr)
@@ -98,10 +98,14 @@ def main():
     qj = jnp.asarray(query.T)
 
     entries = []
-    for n_probe in args.n_probes:
-        if n_probe > args.n_cells:
+    for n_probe in args.n_probes + ["flat"]:
+        if n_probe == "flat":
+            # exhaustive MXU sweep (ops/flat_adc.py): max-recall point
+            index.scan_mode = "flat"
+        elif n_probe > args.n_cells:
             continue
-        index.n_probe = n_probe
+        else:
+            index.n_probe = n_probe
         vals, pred = index.search(qj, k=k_max)
         jax.block_until_ready(vals)
         t0 = time.perf_counter()

@@ -41,17 +41,29 @@ def main():
     index.use_approx_topk = True
     index.spill_cells = 8
     index.spill_capacity = index.max_cell_capacity
-    index.train(jnp.asarray(base[:100_000].T))
+    index.train(jnp.asarray(base[:100_000]).T)
     print("trained", flush=True)
 
     # warm all programs with the first two chunks
     for i in range(2):
-        index.add(jnp.asarray(base[i * 250_000:(i + 1) * 250_000].T))
+        index.add(jnp.asarray(base[i * 250_000:(i + 1) * 250_000]).T)
     print("warmed", flush=True)
 
     chunk = base[500_000:750_000]
 
-    x = t("h2d+T", lambda: jnp.asarray(chunk.T).astype(jnp.float32))
+    # raw link rates (the axon tunnel may be ~MB/s, unlike production PCIe)
+    blob = np.ones((64, 1 << 19), np.float32)  # 128 MB
+    t0 = time.perf_counter()
+    dev = jnp.asarray(blob)
+    jax.block_until_ready(dev)
+    dt = time.perf_counter() - t0
+    print(f"  H2D 128MB: {dt * 1e3:.0f} ms ({128 / dt:.0f} MB/s)", flush=True)
+    t0 = time.perf_counter()
+    _ = np.asarray(dev)
+    dt = time.perf_counter() - t0
+    print(f"  D2H 128MB: {dt * 1e3:.0f} ms ({128 / dt:.0f} MB/s)", flush=True)
+
+    x = t("h2d+T", lambda: jnp.asarray(chunk).T.astype(jnp.float32))
     x_nd = x.T
     cells = t("assign(spill)", lambda: index._assign_cells(x), barrier=False)
     codes_nm = t("pq encode", lambda: index.pq_codec.encode_nd(x_nd))
@@ -66,7 +78,7 @@ def main():
     # and the whole thing, warm, for the last chunk
     last = base[750_000:]
     t0 = time.perf_counter()
-    index.add(jnp.asarray(last.T))
+    index.add(jnp.asarray(last).T)
     jax.effects_barrier()
     print(f"  full add(250k) warm: {(time.perf_counter() - t0) * 1e3:.0f} ms",
           flush=True)

@@ -47,11 +47,11 @@ def main():
     index.spill_cells = 8
     index.spill_capacity = index.max_cell_capacity
     t0 = time.perf_counter()
-    index.train(jnp.asarray(base[:100_000].T))
+    index.train(jnp.asarray(base[:100_000]).T)
     print(f"train {time.perf_counter() - t0:.0f}s", flush=True)
     t0 = time.perf_counter()
     for i in range(0, n_base, 250_000):
-        index.add(jnp.asarray(base[i:i + 250_000].T))
+        index.add(jnp.asarray(base[i:i + 250_000]).T)
     print(f"add {time.perf_counter() - t0:.0f}s  "
           f"s_max={index.max_cell_capacity}", flush=True)
 

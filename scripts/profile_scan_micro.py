@@ -171,3 +171,176 @@ if __name__ == "__main__":
         bench_blocks()
     if which in ("all", "coarse"):
         bench_coarse()
+
+
+# ---------------- 4. merge-stage variants (np=128 shapes) ----------------
+
+def bench_merge():
+    n_probe, k_pair = 128, 10
+    n_pairs = NQ * n_probe
+    rng = np.random.default_rng(3)
+    for pt in (128,):
+        b_max = util.round_up(min(4096, n_pairs) + util.cdiv(n_pairs, pt), 8)
+        combo10 = jnp.asarray(
+            rng.integers(-2**31, 2**31 - 1, size=(b_max, pt, k_pair),
+                         dtype=np.int64).astype(np.int32))
+        combo20 = jnp.concatenate([combo10, combo10], axis=-1)
+        bo = jnp.asarray(rng.integers(0, b_max, n_pairs), jnp.int32)
+        so = jnp.asarray(rng.integers(0, pt, n_pairs), jnp.int32)
+
+        @jax.jit
+        def g10(c, bo, so):
+            return jnp.sum(c[bo, so])
+
+        @jax.jit
+        def g20(c, bo, so):
+            return jnp.sum(c[bo, so])
+
+        print(f"pt={pt} gather rows k=10: {timeit(g10, combo10, bo, so):.1f} ms",
+              flush=True)
+        print(f"pt={pt} gather rows k=20: {timeit(g20, combo20, bo, so):.1f} ms",
+              flush=True)
+
+        # 1D-ified gather of the same payload
+        flat10 = combo10.reshape(-1, k_pair)
+        rows = bo * pt + so
+
+        @jax.jit
+        def g1d(c, rows):
+            return jnp.sum(c[rows])
+
+        print(f"pt={pt} gather rows flat-idx k=10: "
+              f"{timeit(g1d, flat10, rows):.1f} ms", flush=True)
+
+        # k separate element gathers (column-major payload)
+        cols = jnp.asarray(
+            rng.integers(-2**31, 2**31 - 1, size=(k_pair, b_max * pt),
+                         dtype=np.int64).astype(np.int32))
+
+        @jax.jit
+        def gcols(cols, rows):
+            return jnp.sum(cols[:, rows])
+
+        print(f"pt={pt} gather cols-major k=10: "
+              f"{timeit(gcols, cols, rows):.1f} ms", flush=True)
+
+    # final-merge selection variants on [NQ, n_probe * k_pair]
+    keys_i = jnp.asarray(
+        rng.integers(-2**31, 2**31 - 1, size=(NQ, n_probe * k_pair),
+                     dtype=np.int64).astype(np.int32))
+    keys_f = jnp.asarray(
+        rng.normal(size=(NQ, n_probe * k_pair)).astype(np.float32))
+
+    @jax.jit
+    def tki(x):
+        v, i = jax.lax.top_k(x, 10)
+        return jnp.sum(v) + jnp.sum(i)
+
+    @jax.jit
+    def amk(x):
+        v, i = jax.lax.approx_max_k(x, 10)
+        return jnp.sum(v) + jnp.sum(i)
+
+    print(f"final top_k i32 [{NQ},1280]: {timeit(tki, keys_i):.1f} ms",
+          flush=True)
+    print(f"final top_k f32 [{NQ},1280]: {timeit(tki, keys_f):.1f} ms",
+          flush=True)
+    print(f"final approx_max_k f32 [{NQ},1280]: {timeit(amk, keys_f):.1f} ms",
+          flush=True)
+
+    # decode + select + two take_alongs (the full pack32 tail minus gather)
+    from torchpq_tpu.ops.adc import _sortable_i32_f32
+
+    @jax.jit
+    def tail(keys, starts_q):
+        sel = _sortable_i32_f32(keys)
+        fvs, fi = jax.lax.approx_max_k(sel, 10)
+        packed_w = jnp.take_along_axis(keys, fi, axis=1)
+        start_w = jnp.take_along_axis(starts_q, fi // k_pair, axis=1)
+        return jnp.sum(packed_w) + jnp.sum(start_w) + jnp.sum(fvs)
+
+    starts_q = jnp.asarray(
+        rng.integers(0, 4_000_000, size=(NQ, n_probe)).astype(np.int32))
+    print(f"pack32 tail (decode+amk+takes): {timeit(tail, keys_i, starts_q):.1f} ms",
+          flush=True)
+
+
+if __name__ == "__main__" and which in ("all", "merge"):
+    bench_merge()
+
+
+# ---------------- 5. full scan_cell_major on synthetic state ----------------
+
+def bench_scan():
+    from torchpq_tpu.ops import adc
+    rng = np.random.default_rng(4)
+    n_cells, per_cell = 4096, 1024
+    cap = n_cells * per_cell
+    tile = jnp.asarray(rng.normal(size=(65536, D)).astype(np.float32))
+    decoded = jnp.tile(tile, (cap // 65536, 1)).astype(jnp.bfloat16)
+    norms = jnp.sum(jnp.square(decoded.astype(jnp.float32)), axis=-1)
+    is_empty = jnp.zeros((cap,), bool)
+    cell_start = jnp.arange(n_cells, dtype=jnp.int32) * per_cell
+    cell_capacity = jnp.full((n_cells,), per_cell, jnp.int32)
+    q = jnp.asarray(rng.normal(size=(NQ, D)).astype(np.float32))
+    jax.block_until_ready(decoded)
+
+    @jax.jit
+    def reduce_out(vals, addr):
+        return jnp.sum(vals) + jnp.sum(addr).astype(jnp.float32)
+
+    for n_probe in (32, 128):
+        cells = jnp.asarray(
+            np.stack([rng.choice(n_cells, n_probe, replace=False)
+                      for _ in range(NQ)]).astype(np.int32))
+        mask = jnp.ones((NQ, n_probe), bool)
+        for approx, group, pt in ((True, 1, 128), (False, 1, 128),
+                                  (True, 4, 128), (True, 4, 512),
+                                  (True, 1, 512)):
+            f = lambda a=approx, g=group, p=pt: reduce_out(*adc.scan_cell_major(
+                q, cells, mask, decoded, norms, is_empty, cell_start,
+                cell_capacity, k=K, distance="euclidean", s_max=per_cell,
+                n_cells=n_cells, p_tile=p, approx=a, group=g))
+            dt = timeit(f)
+            tag = "pack32" if approx else "exact "
+            print(f"scan np={n_probe} {tag} g={group} pt={pt}: {dt:.1f} ms "
+                  f"-> {NQ / dt * 1e3:,.0f} q/s", flush=True)
+
+
+if __name__ == "__main__" and which in ("all", "scan"):
+    bench_scan()
+
+
+# ---------------- 6. fused pallas flat scan ----------------
+
+def bench_pflat():
+    from torchpq_tpu.ops.flat_adc import _flat_pallas_glue, flat_adc_scan
+    rng = np.random.default_rng(5)
+    q = jnp.asarray(rng.normal(size=(NQ, D)).astype(np.float32))
+    tile = jnp.asarray(rng.normal(size=(65536, D)).astype(np.float32))
+    decoded = jnp.tile(tile, (CAP // 65536, 1)).astype(jnp.bfloat16)
+    pen = jnp.sum(jnp.square(decoded.astype(jnp.float32)), axis=-1)
+    jax.block_until_ready((decoded, pen))
+    # warm the timing harness on something unrelated (first-measure slot
+    # has produced bogus numbers in past runs)
+    timeit(lambda: jnp.sum(pen), reps=2)
+    dt = timeit(lambda: _flat_pallas_glue(q, decoded, pen, k=K,
+                                          distance="euclidean"))
+    print(f"pallas flat: {dt:.1f} ms -> {NQ / dt * 1e3:,.0f} q/s", flush=True)
+    dt = timeit(lambda: flat_adc_scan(q, decoded, pen, k=K,
+                                      distance="euclidean", chunk=131072,
+                                      approx=True))
+    print(f"xla flat   : {dt:.1f} ms -> {NQ / dt * 1e3:,.0f} q/s", flush=True)
+    # agreement between the two on the top-1
+    v1, a1 = _flat_pallas_glue(q, decoded, pen, k=K, distance="euclidean")
+    v2, a2 = flat_adc_scan(q, decoded, pen, k=K, distance="euclidean",
+                           chunk=131072, approx=False)
+    a1, a2 = np.asarray(a1), np.asarray(a2)
+    top1 = (a1[:, 0] == a2[:, 0]).mean()
+    ov = np.mean([len(np.intersect1d(x, y)) / K for x, y in zip(a1, a2)])
+    print(f"pallas vs exact-xla: top1 {top1:.4f} overlap@{K} {ov:.4f}",
+          flush=True)
+
+
+if __name__ == "__main__" and which in ("all", "pflat"):
+    bench_pflat()

@@ -98,3 +98,21 @@ def test_sharded_search_with_group(rng):
     v, got = s1.search(jnp.asarray(x[:50].T), k=3)
     hit = (np.asarray(got) == ids[:50, None]).any(1).mean()
     assert hit > 0.9, hit
+
+
+def test_sharded_flat_mode_matches_single_device_flat(rng):
+    """flat scan_mode on the mesh: every shard sweeps its local cache; the
+    merged result must match the single-device flat scan."""
+    index, x, ids = _filled_index(rng)
+    q = x[:32]
+    index.scan_mode = "flat"
+    v1, i1 = index.search(jnp.asarray(q.T), k=5)
+    index.scan_mode = "auto"
+
+    searcher = ShardedIVFPQSearcher(index, mesh=get_mesh(8),
+                                    scan_mode="flat")
+    v2, i2 = searcher.search(jnp.asarray(q.T), k=5)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2),
+                               rtol=1e-3, atol=1e-3)
+    agree = (np.asarray(i1) == np.asarray(i2)).mean()
+    assert agree > 0.9, agree

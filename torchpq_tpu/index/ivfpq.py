@@ -88,13 +88,13 @@ def _search_full(q, coarse_codebook, decoded, norms, is_empty, cell_start,
     this outruns the IVF scan at high n_probe."""
     from ..ops import adc
     if mode == "flat":
-        from ..ops.flat_adc import flat_adc_scan
+        from ..ops.flat_adc import flat_adc_auto
         big = jnp.float32(jnp.finfo(jnp.float32).max / 4)
         penalty = jnp.where(is_empty, big,
                             norms if distance == "euclidean" else 0.0)
-        vals, addr = flat_adc_scan(q, decoded, penalty, k=k,
+        vals, addr = flat_adc_auto(q, decoded, penalty, k=k,
                                    distance=distance, approx=approx,
-                                   scales=scales)
+                                   impl=impl, scales=scales)
         ids = jnp.where(addr >= 0, address2id[jnp.maximum(addr, 0)], -1)
         return vals, ids, addr
     _, cells, mask = _coarse_probe(
@@ -312,8 +312,14 @@ class IVFPQIndex(CellContainer):
             jnp.asarray(x).T.astype(jnp.float32),
             self.vq_codec.kmeans._centroids[0], l, "euclidean",
             approx=self._use_approx_topk)
+        # D2H rides a slow link in dev environments; cell ids fit int16
+        # whenever n_cells does, halving the transfer
+        if self.n_cells <= 32767:
+            top_host = np.asarray(top.astype(jnp.int16)).astype(np.int32)
+        else:
+            top_host = np.asarray(top)
         out, _ = native.spill_assign(
-            np.asarray(top), self._cell_size_np.copy(),
+            top_host, self._cell_size_np.copy(),
             int(self.spill_capacity))
         return out
 

@@ -503,7 +503,10 @@ def scan_cell_major(query, cells, probe_mask, decoded, norms, is_empty,
     kk = min(k, n_probe * k_pair)
 
     if pack32:
-        pc = combo[bo_safe, so]  # [n_pairs, k_pair], original pair order
+        # flattened row index: XLA lowers the 1-D row gather measurably
+        # faster than the equivalent 2-D [bo, so] gather
+        pc = combo.reshape(b_max * p_tile, k_pair)[
+            bo_safe * p_tile + so]  # [n_pairs, k_pair], original pair order
         out = jnp.where(live[:, None], pc, key_neg_big)
         pair_start = jnp.where(live, start_c_all[bo_safe], 0)  # [n_pairs]
         keys = out.reshape(nq, n_probe * k_pair)
@@ -523,7 +526,8 @@ def scan_cell_major(query, cells, probe_mask, decoded, norms, is_empty,
         fa = jnp.where(alive, start_w + slot, -1)
         fv = jnp.where(alive, fv, -jnp.inf)
     else:
-        pc = combo[bo_safe, so]  # [n_pairs, 2k], orig order
+        pc = combo.reshape(b_max * p_tile, 2 * k_pair)[
+            bo_safe * p_tile + so]  # [n_pairs, 2k], orig order
         neg = jnp.int32(jnp.iinfo(jnp.int32).min)
         fill = jnp.concatenate([jnp.full(k_pair, neg, jnp.int32),
                                 jnp.full(k_pair, -1, jnp.int32)])

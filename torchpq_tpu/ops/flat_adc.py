@@ -32,7 +32,7 @@ from ..metric import canonical_distance
 @functools.partial(
     jax.jit,
     static_argnames=("k", "distance", "chunk", "approx"))
-def flat_adc_scan(query, decoded, penalty, *, k, distance, chunk=32768,
+def flat_adc_scan(query, decoded, penalty, *, k, distance, chunk=131072,
                   approx=True, scales=None):
     """query: [nq, d] f32 (preprocessed); decoded: [cap, d] bf16/f32/int8
     row-major cache; penalty: [cap] f32 = norms (euclidean) or 0, with BIG at
@@ -113,3 +113,67 @@ def flat_adc_scan(query, decoded, penalty, *, k, distance, chunk=32768,
         fv = jnp.pad(fv, ((0, 0), (0, k - kk)), constant_values=-jnp.inf)
         fa = jnp.pad(fa, ((0, 0), (0, k - kk)), constant_values=-1)
     return fv, fa
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "distance", "interpret"))
+def _flat_pallas_glue(query, decoded, penalty, *, k, distance,
+                      interpret=False):
+    """Pad queries to the kernel's tile, run the fused Pallas sweep, and
+    finish: the kernel's running top-R is already sorted descending, so the
+    head is the answer; apply the deferred -|q|^2 term and dead masking."""
+    from .. import util
+    from .pallas_flat import flat_scan_pallas
+    nq = query.shape[0]
+    big = jnp.float32(jnp.finfo(jnp.float32).max / 4)
+    q_tile = 512 if nq >= 512 else max(8, 1 << (nq - 1).bit_length())
+    q_pad, _ = util.pad_rows(query, q_tile)
+    r_keep = min(32, max(8, -(-k // 8) * 8))
+    # the kernel requires cap to be a multiple of its window (all DMA
+    # offsets then provably 128-aligned); pad dead slots if needed — a
+    # no-op for the usual pow2-cell layouts
+    w = 2048
+    cap = decoded.shape[0]
+    pad = (-cap) % w
+    if pad:
+        decoded = jnp.pad(decoded, ((0, pad), (0, 0)))
+        penalty = jnp.pad(penalty, (0, pad), constant_values=big)
+    vals, addrs = flat_scan_pallas(
+        q_pad.reshape(-1, query.shape[1]), decoded, penalty,
+        r_keep=r_keep, distance=distance, q_tile=q_tile, w=w,
+        interpret=interpret)
+    vals = vals[:nq, :k]
+    addrs = addrs[:nq, :k]
+    alive = vals > -big / 2
+    if distance == "euclidean":
+        vals = vals - jnp.sum(jnp.square(query), axis=-1)[:, None]
+    vals = jnp.where(alive, vals, -jnp.inf)
+    addrs = jnp.where(alive, addrs, -1)
+    if k > vals.shape[-1]:
+        pad = k - vals.shape[-1]
+        vals = jnp.pad(vals, ((0, 0), (0, pad)), constant_values=-jnp.inf)
+        addrs = jnp.pad(addrs, ((0, 0), (0, pad)), constant_values=-1)
+    return vals, addrs
+
+
+def flat_adc_auto(query, decoded, penalty, *, k, distance, approx=True,
+                  impl="xla", scales=None, interpret=False):
+    """Dispatch between the two flat sweeps.
+
+    Measured (v5e, 10k queries x 4.2M slots x 128d, k=10): the XLA sweep
+    runs 81 ms (~123k q/s) — XLA fuses the PartialReduce epilogue well
+    enough that it sits near the matmul roofline. The Pallas kernel
+    (ops/pallas_flat.py) is numerically right (1.0000 top-10 agreement)
+    but its in-kernel merge degrades into width-1 lane ops and measures
+    ~100x slower; it stays as an opt-in experiment (impl="pallas_flat"),
+    not a default.
+    """
+    use_pallas = (
+        impl == "pallas_flat" and distance != "manhattan"
+        and decoded.dtype != jnp.int8 and k <= 32
+        and decoded.shape[0] >= 2048 and approx)
+    if use_pallas:
+        return _flat_pallas_glue(query, decoded, penalty, k=k,
+                                 distance=distance, interpret=interpret)
+    return flat_adc_scan(query, decoded, penalty, k=k, distance=distance,
+                         approx=approx, scales=scales)

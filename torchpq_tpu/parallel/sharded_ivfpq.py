@@ -45,21 +45,32 @@ def _sharded_search(mesh, decoded, norms, is_empty, cell_start, cell_capacity,
         cstart, ccap, ids = cstart[0], ccap[0], ids[0]
         my = jax.lax.axis_index(axis)
 
-        from ..index.ivfpq import _coarse_probe
-        _, cells, mask = _coarse_probe(
-            q, codebook, temperature, n_probe=n_probe,
-            use_smart=use_smart, precision=None)
-        local_mask = mask & (cells % d_count == my)
-        local_cells = jnp.minimum(cells // d_count, c_loc - 1)
-        if mode == "cell_major":
-            vals, addr = adc.scan_cell_major(
-                q, local_cells, local_mask, dec, nrm, emp, cstart, ccap,
-                k=k, distance=distance, s_max=s_max, n_cells=c_loc,
-                p_tile=p_tile, group=group)
+        if mode == "flat":
+            # exhaustive local sweep (ops/flat_adc.py): no probing at all;
+            # every shard brute-forces its own cells and the ICI merge is
+            # unchanged — the multi-chip max-recall operating point
+            from ..ops.flat_adc import flat_adc_scan
+            big = jnp.float32(jnp.finfo(jnp.float32).max / 4)
+            penalty = jnp.where(
+                emp, big, nrm if distance == "euclidean" else 0.0)
+            vals, addr = flat_adc_scan(q, dec, penalty, k=k,
+                                       distance=distance, approx=True)
         else:
-            vals, addr = adc.scan_query_major(
-                q, local_cells, local_mask, dec, nrm, emp, cstart, ccap,
-                k=k, distance=distance, s_max=s_max)
+            from ..index.ivfpq import _coarse_probe
+            _, cells, mask = _coarse_probe(
+                q, codebook, temperature, n_probe=n_probe,
+                use_smart=use_smart, precision=None)
+            local_mask = mask & (cells % d_count == my)
+            local_cells = jnp.minimum(cells // d_count, c_loc - 1)
+            if mode == "cell_major":
+                vals, addr = adc.scan_cell_major(
+                    q, local_cells, local_mask, dec, nrm, emp, cstart, ccap,
+                    k=k, distance=distance, s_max=s_max, n_cells=c_loc,
+                    p_tile=p_tile, group=group)
+            else:
+                vals, addr = adc.scan_query_major(
+                    q, local_cells, local_mask, dec, nrm, emp, cstart, ccap,
+                    k=k, distance=distance, s_max=s_max)
         lids = jnp.where(addr >= 0, ids[jnp.maximum(addr, 0)], -1)
         # merge across shards over ICI
         gv = jax.lax.all_gather(vals, axis)   # [D, nq, k]
