@@ -1,0 +1,83 @@
+"""Compacted flat-scan cache (index/ivfpq.py:_compact_flat_cache) and the
+bf16-safe save/load path (module.py).
+
+Cells are over-allocated (pow2 capacities), so the exhaustive flat sweep
+would otherwise scan 2-4x more slots than live items; the compaction must
+be address-exact and invalidate on every container mutation.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from torchpq_tpu.index import IVFPQIndex
+
+
+@pytest.fixture
+def built():
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(5000, 32)).astype(np.float32)
+    ix = IVFPQIndex(d_vector=32, n_subvectors=16, n_cells=32,
+                    initial_size=1024)
+    ix.train(jnp.asarray(x[:3000].T))
+    ids = np.asarray(ix.add(jnp.asarray(x.T)))
+    return ix, x, ids
+
+
+def test_flat_compact_matches_full_probe(built):
+    ix, x, ids = built
+    assert ix.capacity > ix.n_items  # compaction actually engages
+    q = x[:64]
+    ix.use_approx_topk = False
+    ix.scan_mode = "flat"
+    v1, p1 = ix.search(jnp.asarray(q.T), k=10)
+    amap = ix._flat_cache[1][3]
+    assert amap is not None and amap.shape[0] < ix.capacity
+    ix.scan_mode = "auto"
+    ix.n_probe = 32  # full probing == same ADC ceiling
+    v2, p2 = ix.search(jnp.asarray(q.T), k=10)
+    agree = np.mean([len(np.intersect1d(a, b))
+                     for a, b in zip(np.asarray(p1), np.asarray(p2))]) / 10
+    assert agree > 0.99
+    np.testing.assert_allclose(np.sort(np.asarray(v1)),
+                               np.sort(np.asarray(v2)), rtol=1e-2, atol=1e-2)
+
+
+def test_flat_compact_invalidates_on_remove(built):
+    ix, x, ids = built
+    ix.scan_mode = "flat"
+    q = jnp.asarray(x[:32].T)
+    ix.search(q, k=5)
+    ver0 = ix._flat_cache[0]
+    ix.remove(ids=ids[:1000])
+    _, p = ix.search(q, k=5)
+    assert ix._flat_cache[0] != ver0
+    leaked = set(np.asarray(p).ravel().tolist()) & set(ids[:1000].tolist())
+    assert not leaked
+
+
+def test_flat_compact_invalidates_on_add(built):
+    ix, x, ids = built
+    ix.scan_mode = "flat"
+    rng = np.random.default_rng(7)
+    extra = rng.normal(size=(8, 32)).astype(np.float32)
+    ix.search(jnp.asarray(x[:8].T), k=5)
+    new_ids = np.asarray(ix.add(jnp.asarray(extra.T)))
+    # the new vectors must be findable immediately (cache rebuilt)
+    _, p = ix.search(jnp.asarray(extra.T), k=1)
+    hits = np.mean(np.asarray(p)[:, 0] == new_ids)
+    assert hits >= 0.75  # PQ top-1 self-recall; most must resolve
+
+
+def test_save_load_bf16_roundtrip(tmp_path, built):
+    ix, x, ids = built
+    assert str(ix.aux("decoded").dtype) == "bfloat16"
+    path = str(tmp_path / "ix.npz")
+    ix.save(path)
+    ix2 = IVFPQIndex(d_vector=32, n_subvectors=16, n_cells=32)
+    ix2.load(path)
+    assert str(ix2.aux("decoded").dtype) == "bfloat16"
+    q = jnp.asarray(x[:16].T)
+    v1, p1 = ix.search(q, k=5)
+    v2, p2 = ix2.search(q, k=5)
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))

@@ -34,6 +34,10 @@ class BaseContainer(StateModule):
         self.expand_mode = expand_mode
         self.use_inverse_id_mapping = use_inverse_id_mapping
         self._expand_calls = 0
+        # bumped on every storage mutation (add/remove/relayout/load);
+        # lets caches derived from storage (e.g. the compacted flat-scan
+        # cache in index/ivfpq.py) invalidate without content hashing
+        self._mutations = 0
 
         cap = util.next_pow2(initial_size or expand_step_size)
         self._capacity = cap

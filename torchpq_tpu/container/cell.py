@@ -241,6 +241,7 @@ class CellContainer(BaseContainer):
             "_storage",
             self._storage.at[tgt].set(
                 jnp.asarray(data).T.astype(self.dtype), mode="drop"))
+        self._mutations += 1
 
     def get_data_by_id(self, ids):
         return self.get_data_by_address(self.get_address_by_id(ids))
@@ -288,6 +289,7 @@ class CellContainer(BaseContainer):
                             jnp.asarray(new_caps, jnp.int32))
         self._cell_capacity_np = new_caps
         self._capacity = new_total
+        self._mutations += 1
         # rebuild inverse map (addresses moved wholesale)
         self.create_inverse_id_mapping()
         self.print_message(
@@ -337,6 +339,7 @@ class CellContainer(BaseContainer):
                     self.aux(name).at[jnp.where(valid, addr, self._capacity)]
                     .set(pad, mode="drop"))
         self._n_items += n
+        self._mutations += 1
         self._cell_size_np += counts
         if return_address:
             return jnp.asarray(ids_np), addr[:n]
@@ -380,6 +383,7 @@ class CellContainer(BaseContainer):
         self.register_state("_is_empty", emp)
         self.register_state("_cell_size", csz)
         self._n_items -= r
+        self._mutations += 1
         return r
 
     def empty(self):
@@ -393,10 +397,12 @@ class CellContainer(BaseContainer):
                             jnp.zeros((self.n_cells,), jnp.int32))
         self._n_items = 0
         self._max_id = 0
+        self._mutations += 1
         self._cell_size_np[:] = 0
 
     def _after_load(self):
         super()._after_load()
+        self._mutations += 1
         self._cell_size_np = np.asarray(self._cell_size, dtype=np.int64)
         self._cell_capacity_np = np.asarray(self._cell_capacity,
                                             dtype=np.int64)

@@ -70,6 +70,43 @@ def _coarse_probe(query, coarse_codebook, temperature, *, n_probe, use_smart,
     return topk_sims, cells.astype(jnp.int32), mask
 
 
+@functools.partial(jax.jit, static_argnames=("n_pad",))
+def _compact_flat_cache(decoded, norms, is_empty, scales, *, n_pad):
+    """Squeeze the capacity-sized decoded cache down to its live rows.
+
+    Cells are over-allocated (pow2 capacities, spill headroom), so capacity
+    commonly runs 2-4x n_items; the flat MXU sweep pays for every slot it
+    scans, dead or not. One nonzero + row-gather (amortized across searches
+    until the next mutation) shrinks the sweep to ~n_items. addr_map[i] is
+    the storage address of compact row i (-1 on the padding tail)."""
+    addr_map = jnp.nonzero(~is_empty, size=n_pad, fill_value=-1)[0] \
+        .astype(jnp.int32)
+    valid = addr_map >= 0
+    safe = jnp.maximum(addr_map, 0)
+    dec = decoded[safe]
+    nrm = norms[safe]
+    sc = None if scales is None else scales[safe]
+    return dec, nrm, ~valid, addr_map, sc
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "distance", "approx", "impl"))
+def _search_flat(q, decoded, norms, is_empty, addr_map, address2id, *,
+                 k, distance, approx, impl, scales=None):
+    """Flat-mode query path over a (possibly compacted) cache: exhaustive
+    MXU sweep + address translation. recall = the full ADC ceiling."""
+    from ..ops.flat_adc import flat_adc_auto
+    big = jnp.float32(jnp.finfo(jnp.float32).max / 4)
+    penalty = jnp.where(is_empty, big,
+                        norms if distance == "euclidean" else 0.0)
+    vals, addr = flat_adc_auto(q, decoded, penalty, k=k, distance=distance,
+                               approx=approx, impl=impl, scales=scales)
+    if addr_map is not None:
+        addr = jnp.where(addr >= 0, addr_map[jnp.maximum(addr, 0)], -1)
+    ids = jnp.where(addr >= 0, address2id[jnp.maximum(addr, 0)], -1)
+    return vals, ids, addr
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("k", "n_probe", "use_smart", "precision", "distance",
@@ -171,6 +208,9 @@ class IVFPQIndex(CellContainer):
             d_vector=d_vector, n_subvectors=n_subvectors, n_clusters=256,
             distance=distance, verbose=verbose, seed=seed))
         self._ivfpq_topk = IVFPQTopk(n_cells=n_cells, mode=scan_mode)
+        # compacted flat-scan cache: (mutation counter it was built at,
+        # (decoded, norms, is_empty, addr_map, scales))
+        self._flat_cache = None
 
     # ---- tunable properties (reference IVFPQIndex.py:89-232) ----
     @property
@@ -373,6 +413,28 @@ class IVFPQIndex(CellContainer):
             return vals, ids, addr
         return vals, ids
 
+    def _flat_compacted(self):
+        """(decoded, norms, is_empty, addr_map, scales) for the flat sweep,
+        with dead slots squeezed out. Rebuilt lazily after any container
+        mutation; a no-op passthrough when capacity is already tight."""
+        ver = self._mutations
+        if self._flat_cache is not None and self._flat_cache[0] == ver:
+            return self._flat_cache[1]
+        scales = self.aux("scale")[:, 0] if self._int8_cache else None
+        n = max(int(self.n_items), 1)
+        unit = 131072 if n > 131072 else 2048
+        n_pad = -(-n // unit) * unit
+        if n_pad >= self.capacity:
+            res = (self.aux("decoded"), self.aux("norm")[:, 0],
+                   self._is_empty, None, scales)
+        else:
+            dec, nrm, emp, amap, sc = _compact_flat_cache(
+                self.aux("decoded"), self.aux("norm")[:, 0],
+                self._is_empty, scales, n_pad=n_pad)
+            res = (dec, nrm, emp, amap, sc)
+        self._flat_cache = (ver, res)
+        return res
+
     def search(self, x, k=1, return_address=False):
         """x: [d_vector, nq] -> (values [nq, k], ids [nq, k]).
 
@@ -393,6 +455,16 @@ class IVFPQIndex(CellContainer):
                     else "cell_major")
         if self._int8_cache and mode != "flat":
             mode = "cell_major"  # int8 path lives in the cell-major scan
+        if mode == "flat":
+            dec, nrm, emp, amap, sc = self._flat_compacted()
+            vals, ids, addr = _search_flat(
+                q, dec, nrm, emp, amap, self._address2id,
+                k=int(k), distance=self.distance,
+                approx=self._use_approx_topk, impl=self.scan_impl,
+                scales=sc)
+            if return_address:
+                return vals, ids, addr
+            return vals, ids
         vals, ids, addr = _search_full(
             q, self.vq_codec.kmeans._centroids[0],
             self.aux("decoded"), self.aux("norm")[:, 0], self._is_empty,

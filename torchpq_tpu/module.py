@@ -63,8 +63,32 @@ class StateModule:
         """Hook for derived classes to rebuild derived/python-side state."""
 
     def save(self, path):
-        np.savez(path, **{k: np.asarray(v) for k, v in self.state_dict().items()})
+        """np.savez of the state dict. Extension dtypes (bfloat16) are not
+        round-trippable through the .npy format, so they're stored as their
+        raw uint16 bits plus a `<key>::bfloat16` marker entry."""
+        import ml_dtypes
+        arrays = {}
+        for k, v in self.state_dict().items():
+            a = np.asarray(v)
+            if a.dtype == ml_dtypes.bfloat16:
+                arrays[k] = a.view(np.uint16)
+                arrays[k + "::bfloat16"] = np.array(True)
+            else:
+                arrays[k] = a
+        np.savez(path, **arrays)
 
     def load(self, path):
+        import ml_dtypes
         with np.load(path, allow_pickle=False) as f:
-            self.load_state_dict({k: f[k] for k in f.files})
+            state = {}
+            for k in f.files:
+                if k.endswith("::bfloat16"):
+                    continue
+                a = f[k]
+                if k + "::bfloat16" in f.files:
+                    a = a.view(ml_dtypes.bfloat16)
+                elif a.dtype.kind == "V" and a.dtype.itemsize == 2:
+                    # legacy file: bf16 saved without the marker
+                    a = a.view(ml_dtypes.bfloat16)
+                state[k] = a
+            self.load_state_dict(state)

@@ -92,6 +92,28 @@ def _sharded_search(mesh, decoded, norms, is_empty, cell_start, cell_capacity,
               codebook, q, temperature)
 
 
+@functools.partial(jax.jit, static_argnames=("mesh", "axis", "n_pad"))
+def _sharded_compact(mesh, decoded, norms, is_empty, ids_sh, *, axis, n_pad):
+    """Per-shard live-row compaction for flat mode (same trick as
+    index/ivfpq.py:_compact_flat_cache): each shard squeezes its dead slots
+    out so the exhaustive sweep pays only for live rows. Ids are translated
+    here, so the search path needs no address map."""
+    def local(dec, nrm, emp, ids):
+        dec, nrm, emp, ids = dec[0], nrm[0], emp[0], ids[0]
+        amap = jnp.nonzero(~emp, size=n_pad, fill_value=-1)[0] \
+            .astype(jnp.int32)
+        valid = amap >= 0
+        safe = jnp.maximum(amap, 0)
+        return (dec[safe][None], jnp.where(valid, nrm[safe], 0.0)[None],
+                (~valid)[None], jnp.where(valid, ids[safe], -1)[None])
+
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(P(axis), P(axis), P(axis), P(axis)),
+                   out_specs=(P(axis), P(axis), P(axis), P(axis)),
+                   check_vma=False)
+    return fn(decoded, norms, is_empty, ids_sh)
+
+
 @functools.partial(jax.jit, static_argnames=("mesh", "axis"),
                    donate_argnums=(1, 2, 3, 4))
 def _sharded_add(mesh, decoded, norms, is_empty, ids_sh, rows, row_norms,
@@ -130,6 +152,7 @@ class ShardedIVFPQSearcher:
         self.scan_mode = scan_mode
         self.p_tile = p_tile
         self.scan_group = scan_group
+        self._flat_sh = None  # compacted per-shard state for flat mode
         self._build_state()
 
     def _build_state(self):
@@ -233,6 +256,7 @@ class ShardedIVFPQSearcher:
         self._lstart_np = new_start
         self._lcap_np = new_caps
         self.s_max = int(new_caps.max())
+        self._flat_sh = None
 
     def add(self, x, ids=None):
         """Route new vectors to their owning shards and append them.
@@ -298,7 +322,23 @@ class ShardedIVFPQSearcher:
             jnp.asarray(shard_of.astype(np.int32)),
             jnp.asarray(slots.astype(np.int32)),
             jnp.asarray(ids), axis=self.axis)
+        self._flat_sh = None
         return jnp.asarray(ids)
+
+    def _flat_compacted(self):
+        """Compacted per-shard (decoded, norms, is_empty, ids) for flat
+        mode; rebuilt lazily after adds/grows. `_next_free` sums are the
+        exact per-shard live counts (the sharded path has no removal)."""
+        if self._flat_sh is not None:
+            return self._flat_sh
+        n_live = int(self._next_free.sum(axis=1).max())
+        unit = 131072 if n_live > 131072 else 2048
+        n_pad = min(-(-max(n_live, 1) // unit) * unit,
+                    int(self.decoded.shape[1]))
+        self._flat_sh = _sharded_compact(
+            self.mesh, self.decoded, self.norms, self.is_empty, self.ids,
+            axis=self.axis, n_pad=n_pad)
+        return self._flat_sh
 
     def search(self, x, k=1):
         """x: [d_vector, nq] -> (values [nq, k], ids [nq, k]); executes the
@@ -309,9 +349,15 @@ class ShardedIVFPQSearcher:
             x = util.normalize(x, axis=0)
         q = x.T
         n_probe = min(idx.n_probe, idx.n_cells)
+        if self.scan_mode == "flat":
+            # flat ignores cell tables; sweep the compacted local caches
+            dec, nrm, emp, ids_sh = self._flat_compacted()
+        else:
+            dec, nrm, emp, ids_sh = (self.decoded, self.norms,
+                                     self.is_empty, self.ids)
         return _sharded_search(
-            self.mesh, self.decoded, self.norms, self.is_empty,
-            self.cell_start, self.cell_capacity, self.ids, self.codebook,
+            self.mesh, dec, nrm, emp,
+            self.cell_start, self.cell_capacity, ids_sh, self.codebook,
             q, jnp.float32(idx.smart_probing_temperature),
             axis=self.axis, k=int(k), n_probe=n_probe,
             use_smart=idx.use_smart_probing, distance=self.distance,
