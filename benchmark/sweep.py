@@ -105,6 +105,10 @@ def main():
         elif n_probe > args.n_cells:
             continue
         else:
+            # pin the IVF scan so the curve shows probing behavior — auto
+            # mode would plan the flat sweep past the crossover and every
+            # high-n_probe row would just repeat the "flat" entry
+            index.scan_mode = "cell_major"
             index.n_probe = n_probe
         vals, pred = index.search(qj, k=k_max)
         jax.block_until_ready(vals)

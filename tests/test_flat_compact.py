@@ -69,6 +69,21 @@ def test_flat_compact_invalidates_on_add(built):
     assert hits >= 0.75  # PQ top-1 self-recall; most must resolve
 
 
+def test_auto_planner_routes_high_n_probe_to_flat(built):
+    """scan_mode='auto' serves high-n_probe requests with the exhaustive
+    sweep (measured faster on MXU past the crossover) — the flat cache gets
+    built and results hit the ADC ceiling."""
+    ix, x, ids = built
+    ix.scan_mode = "auto"
+    ix.n_probe = 32  # 32 * s_pow2 * 128 >> n_items -> flat plan
+    assert ix._flat_cache is None
+    v, p = ix.search(jnp.asarray(x[:16].T), k=5)
+    assert ix._flat_cache is not None
+    ix.scan_mode = "flat"
+    v2, p2 = ix.search(jnp.asarray(x[:16].T), k=5)
+    np.testing.assert_array_equal(np.asarray(p), np.asarray(p2))
+
+
 def test_save_load_bf16_roundtrip(tmp_path, built):
     ix, x, ids = built
     assert str(ix.aux("decoded").dtype) == "bfloat16"

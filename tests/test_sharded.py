@@ -27,6 +27,7 @@ def test_sharded_search_matches_single_device(rng):
     index, x, ids = _filled_index(rng)
     index.n_probe = 8
     index.use_smart_probing = False
+    index.scan_mode = "cell_major"  # pin: auto may plan a flat sweep
     q = x[:40]
     v1, i1 = index.search(jnp.asarray(q.T), k=5)
 
@@ -44,6 +45,7 @@ def test_sharded_search_query_major_mode(rng):
     index, x, ids = _filled_index(rng, n=800)
     index.n_probe = 4
     index.use_smart_probing = False
+    index.scan_mode = "query_major"  # pin: auto may plan a flat sweep
     q = x[:10]
     v1, i1 = index.search(jnp.asarray(q.T), k=3)
     searcher = ShardedIVFPQSearcher(index, mesh=get_mesh(8),

@@ -33,6 +33,11 @@ from .. import util
 from .base import BaseContainer
 
 
+@functools.partial(jax.jit, static_argnames=("n_cells",))
+def _device_bincount(cells, *, n_cells):
+    return jnp.zeros((n_cells,), jnp.int32).at[cells].add(1, mode="drop")
+
+
 @jax.jit
 def _compute_ioa(cells, valid, n_cells_arr):
     """Rank of each batch item within its own cell — the reference's
@@ -298,15 +303,26 @@ class CellContainer(BaseContainer):
 
     # -- add / remove (reference CellContainer.py:313-367 / :369-393) --
     def add(self, data, cells, ids=None, return_address=False, aux_rows=None):
-        """data: [code_size, n] reference layout; cells: [n] cell labels."""
+        """data: [code_size, n] reference layout; cells: [n] cell labels.
+
+        `cells` may live on device (jax array) or host (numpy): the device
+        path reads back only the [n_cells] per-cell counts the host shadows
+        need (4*n_cells bytes) instead of the full [n] labels — it keeps
+        per-item traffic off the ingest critical path (see ops/spill.py)."""
         data = jnp.asarray(data)
         assert data.shape[0] == self.code_size
         n = int(data.shape[1])
-        cells_np = np.asarray(cells).astype(np.int64)
         ids_np = self._prepare_ids(ids, n)
         self._grow_id_map()
 
-        counts = np.bincount(cells_np, minlength=self.n_cells)
+        if isinstance(cells, jax.Array):
+            cells_dev = cells.astype(jnp.int32)
+            counts = np.asarray(_device_bincount(
+                cells_dev, n_cells=self.n_cells)).astype(np.int64)
+        else:
+            cells_np = np.asarray(cells).astype(np.int64)
+            cells_dev = None
+            counts = np.bincount(cells_np, minlength=self.n_cells)
         need = self._cell_size_np + counts
         over = need > self._cell_capacity_np
         if over.any():
@@ -316,8 +332,11 @@ class CellContainer(BaseContainer):
         b = util.next_pow2(max(n, 1))
         rows = jnp.zeros((b, self.code_size), self.dtype).at[:n].set(
             data.T.astype(self.dtype))
-        cellsj = jnp.zeros((b,), jnp.int32).at[:n].set(
-            jnp.asarray(cells_np, dtype=jnp.int32))
+        if cells_dev is not None:
+            cellsj = jnp.zeros((b,), jnp.int32).at[:n].set(cells_dev)
+        else:
+            cellsj = jnp.zeros((b,), jnp.int32).at[:n].set(
+                jnp.asarray(cells_np, dtype=jnp.int32))
         idsj = jnp.zeros((b,), jnp.int64).at[:n].set(jnp.asarray(ids_np))
         valid = jnp.arange(b) < n
         st, a2i, i2a, emp, csz, addr = _cell_add(

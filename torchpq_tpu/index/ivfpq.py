@@ -182,6 +182,9 @@ class IVFPQIndex(CellContainer):
         # spill assignment (off by default; see _assign_cells)
         self.spill_cells = 1
         self.spill_capacity = None
+        # "device" (ops/spill.py round-based, no per-item host sync) or
+        # "host" (native C++ greedy, exact arrival order)
+        self.spill_impl = "device"
         # block-scan implementation: "xla" (lax.map + dynamic_slice) or
         # "pallas" (fused double-buffered kernel; k <= 16)
         self.scan_impl = "xla"
@@ -345,15 +348,25 @@ class IVFPQIndex(CellContainer):
         (reference semantics: always the argmax cell)."""
         if self.spill_cells <= 1 or self.spill_capacity is None:
             return np.asarray(self.vq_codec.encode(x))
-        from .. import native
         from ..ops.max_sim import topk_sim
         l = self.spill_cells
         _, top = topk_sim(
             jnp.asarray(x).T.astype(jnp.float32),
             self.vq_codec.kmeans._centroids[0], l, "euclidean",
             approx=self._use_approx_topk)
-        # D2H rides a slow link in dev environments; cell ids fit int16
-        # whenever n_cells does, halving the transfer
+        if self.spill_impl == "device":
+            # device-resident routing (ops/spill.py): keeps the [n, l]
+            # candidate matrix off the host entirely, so add() never syncs
+            # a per-item transfer — critical when H2D/D2H serialize and a
+            # mid-add readback would stall the next chunk's upload
+            from ..ops.spill import spill_assign_device
+            cells, _ = spill_assign_device(
+                top.astype(jnp.int32), self._cell_size,
+                cap=int(self.spill_capacity), n_cells=self.n_cells)
+            return cells
+        from .. import native
+        # host routing: D2H rides a slow link in dev environments; cell ids
+        # fit int16 whenever n_cells does, halving the transfer
         if self.n_cells <= 32767:
             top_host = np.asarray(top.astype(jnp.int16)).astype(np.int32)
         else:
@@ -453,6 +466,17 @@ class IVFPQIndex(CellContainer):
         if mode == "auto":
             mode = ("query_major" if nq < self._ivfpq_topk.batch_threshold
                     else "cell_major")
+            # Query planning: the dense MXU sweep costs ~2.5 ps per
+            # query-slot pair vs ~250-450 ps for the block-sparse IVF scan
+            # (gathers + per-pair merge bookkeeping), measured on v5e at the
+            # 100k and 1M bench shapes. Route to the exhaustive sweep when
+            # its slot count is within ~128x of what probing would touch —
+            # it's then at least as fast AND recall rises to the ADC
+            # ceiling (n_probe stays an accuracy floor, as the reference
+            # documents it; serving the request with a better plan is fair).
+            s_pow2 = util.next_pow2(self.max_cell_capacity)
+            if n_probe * s_pow2 * 128 >= max(int(self.n_items), 1):
+                mode = "flat"
         if self._int8_cache and mode != "flat":
             mode = "cell_major"  # int8 path lives in the cell-major scan
         if mode == "flat":
