@@ -50,6 +50,9 @@ def main():
                     default=[1, 2, 4, 8, 16, 32, 64, 128])
     ap.add_argument("--repeats", type=int, default=5)
     ap.add_argument("--initial-mult", type=int, default=3)
+    ap.add_argument("--spectrum", default="flat", choices=("flat", "decay"),
+                    help="decay: GIST-like per-dim variance decay (see "
+                         "bench.make_data)")
     ap.add_argument("--cache", default=None,
                     help="scan cache dtype: bfloat16|int8|float32")
     args = ap.parse_args()
@@ -65,7 +68,8 @@ def main():
                  else base[:max(len(base) // 10, 10_000)])
         name = args.name or os.path.basename(args.base).split(".")[0]
     else:
-        base, query = make_data(args.n_base, args.n_query, args.d)
+        base, query = make_data(args.n_base, args.n_query, args.d,
+                                spectrum=args.spectrum)
         learn = base[:100_000]
         name = args.name or f"synthetic{len(base)}"
     d = base.shape[1]

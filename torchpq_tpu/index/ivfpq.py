@@ -474,8 +474,13 @@ class IVFPQIndex(CellContainer):
             # it's then at least as fast AND recall rises to the ADC
             # ceiling (n_probe stays an accuracy floor, as the reference
             # documents it; serving the request with a better plan is fair).
+            # k <= 32 only: the flat epilogue (per-chunk approx_max_k) gets
+            # slower and lossier as k grows — measured at 1M, k=100: flat
+            # 103k q/s at recall 0.802 loses to the np=4 IVF scan's 106k at
+            # 0.820, while at k=10 flat wins everywhere past np~4.
             s_pow2 = util.next_pow2(self.max_cell_capacity)
-            if n_probe * s_pow2 * 128 >= max(int(self.n_items), 1):
+            if (int(k) <= 32
+                    and n_probe * s_pow2 * 128 >= max(int(self.n_items), 1)):
                 mode = "flat"
         if self._int8_cache and mode != "flat":
             mode = "cell_major"  # int8 path lives in the cell-major scan
