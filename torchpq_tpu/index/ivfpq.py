@@ -478,8 +478,11 @@ class IVFPQIndex(CellContainer):
             # slower and lossier as k grows — measured at 1M, k=100: flat
             # 103k q/s at recall 0.802 loses to the np=4 IVF scan's 106k at
             # 0.820, while at k=10 flat wins everywhere past np~4.
+            # Exception: at high d the IVF scan's [blocks, p_tile, d] query-
+            # tile gather dominates (measured d=960, k=100: IVF 342 q/s vs
+            # flat 39.9k at better recall), so the k gate lifts there.
             s_pow2 = util.next_pow2(self.max_cell_capacity)
-            if (int(k) <= 32
+            if ((int(k) <= 32 or self.d_vector >= 512)
                     and n_probe * s_pow2 * 128 >= max(int(self.n_items), 1)):
                 mode = "flat"
         if self._int8_cache and mode != "flat":
