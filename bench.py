@@ -184,9 +184,13 @@ def main():
           f"IVF{n_cells} PQ{m}", file=sys.stderr)
     base, query = make_data(n_base, n_query, d)
 
+    # 3x headroom avoids mid-add relayouts; at 10M that would be an 8.6 GB
+    # cache, so xl runs tighter (pow2 rounding still leaves ~1.7x, and
+    # spill keeps cells bounded)
+    init_mult = 1.5 if args.xl else 3
     index = IVFPQIndex(d_vector=d, n_subvectors=m, n_cells=n_cells,
                        distance="euclidean",
-                       initial_size=max(16, (n_base // n_cells) * 3))
+                       initial_size=max(16, int(n_base // n_cells * init_mult)))
     index.n_probe = args.n_probe
     index.use_approx_topk = True  # TPU-native top-k; recall reported below
     # bounded cells: overflow spills to the next-best cell so the scan's
@@ -267,9 +271,13 @@ def main():
         train_warm_s = add_warm_s = float("nan")
     else:
         add_chunk = 250_000
+        if args.xl:
+            index = None  # free the built index's HBM before the rebuild
         index2 = IVFPQIndex(d_vector=d, n_subvectors=m, n_cells=n_cells,
                             distance="euclidean",
-                            initial_size=max(16, (n_base // n_cells) * 3))
+                            initial_size=max(16,
+                                             int(n_base // n_cells
+                                                 * init_mult)))
         t0 = time.perf_counter()
         index2.train(jnp.asarray(base[:train_n]).T)
         jax.effects_barrier()

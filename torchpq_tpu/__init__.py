@@ -37,6 +37,11 @@ from . import native
 from . import profiling
 
 from .fn import Topk
+from .module import StateModule
+
+# Reference parity: `torchpq.CustomModule` (torchpq/__init__.py:19) — the
+# stateful-shell base class; here it's StateModule, aliased for drop-ins.
+CustomModule = StateModule
 
 # Reference parity: `torchpq.topk` module-level singleton (torchpq/__init__.py:22).
 topk = Topk()
