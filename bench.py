@@ -58,7 +58,8 @@ def make_data(n_base, n_query, d, seed=0, n_centers=1000, intrinsic=8,
     unchanged."""
     tag = "" if spectrum == "flat" else f"_{spectrum}"
     path = f"/tmp/data_{n_base}_{n_query}_{d}_{seed}{tag}.npz"
-    if cache and n_base * d >= 2 ** 28 and os.path.exists(path):
+    cache = cache and n_base * d >= 2 ** 26  # covers the 1M default (1 host core here — regen costs minutes)
+    if cache and os.path.exists(path):
         with np.load(path) as f:
             return f["base"], f["query"]
     rng = np.random.default_rng(seed)
@@ -85,18 +86,24 @@ def make_data(n_base, n_query, d, seed=0, n_centers=1000, intrinsic=8,
         w = np.exp(-4.0 * np.arange(d, dtype=np.float32) / d)
         base *= w
         query *= w
-    if cache and n_base * d >= 2 ** 28:
+    if cache:
         np.savez(path, base=base, query=query)
     return base, query
 
 
-def brute_force_topk(base, query, k, chunk=512, cache_key=None,
+def brute_force_topk(base, query, k, chunk=None, cache_key=None,
                      metric="euclidean"):
     """Exact ground truth on the host (numpy BLAS + argpartition).
 
     Exact top-k on TPU is sort-based and prohibitively slow at 1M width;
     the host computes it in minutes and the result is cached on disk.
     metric: euclidean | inner | cosine (cosine = normalize + inner).
+
+    Memory-lean by construction: one reusable [chunk, n_base] f32 score
+    buffer (~4 GB cap), scores written with out=/in-place ops, and the
+    partition runs on a *cost* (smaller = better) so no negated copy is
+    ever made. At 10M base the naive version peaked >100 GB host RSS
+    (three 20 GB temporaries/chunk) and got OOM-killed.
     """
     if cache_key is not None:
         path = f"/tmp/gt_{cache_key}_{metric}_{len(base)}_{len(query)}_{k}.npy"
@@ -105,23 +112,27 @@ def brute_force_topk(base, query, k, chunk=512, cache_key=None,
     if metric == "cosine":
         base = base / np.linalg.norm(base, axis=1, keepdims=True)
         query = query / np.linalg.norm(query, axis=1, keepdims=True)
+    if chunk is None:  # ~4 GB score buffer
+        chunk = max(32, min(512, (2 ** 30) // max(1, len(base))))
     b_sq = (base * base).sum(1)
+    buf = np.empty((chunk, len(base)), np.float32)
     outs = []
     for i in range(0, len(query), chunk):
         q = query[i:i + chunk]
-        if metric == "euclidean":
-            s = 2.0 * (q @ base.T) - b_sq[None, :]
-        elif metric in ("inner", "cosine"):
-            s = q @ base.T
-        elif metric == "manhattan":
+        if metric == "manhattan":
             assert len(base) <= 100_000, "manhattan GT only at small scale"
-            s = -np.abs(q[:, None, :] - base[None, :, :]).sum(-1)
+            cost = np.abs(q[:, None, :] - base[None, :, :]).sum(-1)
         else:
-            raise ValueError(metric)
-        part = np.argpartition(-s, k, axis=1)[:, :k]
-        ps = np.take_along_axis(s, part, axis=1)
-        order = np.argsort(-ps, axis=1)
-        outs.append(np.take_along_axis(part, order, axis=1))
+            cost = np.matmul(q, base.T, out=buf[:len(q)])
+            if metric == "euclidean":
+                cost *= -2.0          # cost = b_sq - 2 q·b  (∝ sq. distance)
+                cost += b_sq[None, :]
+            else:                     # inner | cosine: cost = -similarity
+                cost *= -1.0
+        part = np.argpartition(cost, k - 1, axis=1)[:, :k]
+        ps = np.take_along_axis(cost, part, axis=1)
+        order = np.argsort(ps, axis=1)
+        outs.append(np.take_along_axis(part, order, axis=1).copy())
     out = np.concatenate(outs)
     if cache_key is not None:
         np.save(path, out)
