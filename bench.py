@@ -18,7 +18,14 @@ import os
 import sys
 import time
 
-import numpy as np
+try:
+    import numpy as np
+except ModuleNotFoundError:  # bare system python — re-exec under the venv
+    _venv = "/opt/venv/bin/python"
+    if os.path.exists(_venv) and not os.environ.get("_BENCH_REEXEC"):
+        os.environ["_BENCH_REEXEC"] = "1"
+        os.execv(_venv, [_venv, os.path.abspath(__file__)] + sys.argv[1:])
+    raise
 
 import jax
 import jax.numpy as jnp
