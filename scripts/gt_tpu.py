@@ -1,0 +1,124 @@
+"""Exact ground-truth top-k computed on the TPU.
+
+This host's numpy BLAS runs single-threaded at ~1-3 GFLOP/s, which makes
+exact 10M-scale ground truth a multi-hour job; the MXU does the same
+25 TFLOP in seconds. Exactness is preserved by scoring in f32 with
+precision=HIGHEST and taking top-k with a segment-wise exact merge:
+lax.top_k inside 4096-wide segments (a true sort, vectorized and cheap at
+that width), then an exact second-level top-k over the segment winners.
+This sidesteps the "lax.top_k over a 10M-wide row is a full sort" trap.
+
+Writes the same /tmp/gt_<key>_<metric>_<nb>_<nq>_<k>.npy cache file that
+bench.brute_force_topk reads, so the bench picks it up and skips its host
+fallback.
+
+Usage:
+  python scripts/gt_tpu.py --xl          # 10M dataset -> gt_xl_... cache
+  python scripts/gt_tpu.py --check-1m    # recompute 1M GT, compare to the
+                                         # host-BLAS cached file, don't write
+"""
+
+import argparse
+import functools
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+_cache_dir = os.path.expanduser("~/.cache/torchpq_tpu_jax")
+os.makedirs(_cache_dir, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "seg"))
+def _chunk_topk(q, base_t, b_sq, *, k, seg):
+    """Exact euclidean top-k of q [c, d] against base_t [d, n_pad].
+
+    b_sq is +inf on padding columns so padded scores are -inf.
+    Returns (vals [c, k], addr [c, k]) with addr in base row indices.
+    """
+    s = 2.0 * jnp.matmul(q, base_t,
+                         precision=jax.lax.Precision.HIGHEST) - b_sq
+    c, n_pad = s.shape
+    n_seg = n_pad // seg
+    v, i = jax.lax.top_k(s.reshape(c, n_seg, seg), k)    # exact within seg
+    v2, flat = jax.lax.top_k(v.reshape(c, n_seg * k), k)  # exact merge
+    within = jnp.take_along_axis(i.reshape(c, n_seg * k), flat, axis=1)
+    addr = (flat // k) * seg + within
+    return v2, addr
+
+
+def gt_on_tpu(base, query, k, chunk=64, seg=4096):
+    n, d = base.shape
+    n_pad = ((n + seg - 1) // seg) * seg
+    b_sq = np.full((n_pad,), np.inf, np.float32)
+    b_sq[:n] = (base.astype(np.float32) ** 2).sum(1)
+    print(f"[gt_tpu] uploading base {n}x{d} (+pad {n_pad - n})",
+          file=sys.stderr)
+    base_t = np.zeros((d, n_pad), np.float32)
+    base_t[:, :n] = base.T
+    t0 = time.perf_counter()
+    base_t = jnp.asarray(base_t)
+    b_sq = jnp.asarray(b_sq)
+    jax.block_until_ready(base_t)
+    print(f"[gt_tpu] upload {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+
+    out = np.empty((len(query), k), np.int64)
+    t0 = time.perf_counter()
+    for i in range(0, len(query), chunk):
+        q = query[i:i + chunk].astype(np.float32)
+        m = len(q)
+        if m < chunk:  # keep one jit specialization
+            q = np.pad(q, ((0, chunk - m), (0, 0)))
+        _, addr = _chunk_topk(jnp.asarray(q), base_t, b_sq, k=k, seg=seg)
+        out[i:i + m] = np.asarray(addr[:m], np.int64)
+        if i == 0:
+            print(f"[gt_tpu] first chunk (incl. compile) "
+                  f"{time.perf_counter() - t0:.1f}s", file=sys.stderr)
+    print(f"[gt_tpu] total {time.perf_counter() - t0:.1f}s for "
+          f"{len(query)} queries", file=sys.stderr)
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--xl", action="store_true")
+    ap.add_argument("--check-1m", action="store_true")
+    ap.add_argument("--k", type=int, default=10)
+    args = ap.parse_args()
+
+    from bench import make_data
+
+    if args.check_1m:
+        base, query = make_data(1_000_000, 10_000, 128)
+        got = gt_on_tpu(base, query, args.k)
+        ref = np.load(f"/tmp/gt_full_euclidean_1000000_10000_{args.k}.npy")
+        match = (got == ref).mean()
+        print(f"[gt_tpu] element match vs host-BLAS GT: {match:.6f}")
+        # mismatches must be score ties / epsilon reorderings, not errors:
+        # compare as sets per row
+        row_set = np.mean([len(np.intersect1d(g, r)) == args.k
+                           for g, r in zip(got, ref)])
+        print(f"[gt_tpu] rows identical as sets: {row_set:.6f}")
+        return
+
+    if args.xl:
+        n_base, n_query, key = 10_000_000, 10_000, "xl"
+    else:
+        n_base, n_query, key = 1_000_000, 10_000, "full"
+    base, query = make_data(n_base, n_query, 128)
+    got = gt_on_tpu(base, query, args.k)
+    path = f"/tmp/gt_{key}_euclidean_{n_base}_{n_query}_{args.k}.npy"
+    np.save(path, got)
+    print(f"[gt_tpu] wrote {path}")
+
+
+if __name__ == "__main__":
+    main()
