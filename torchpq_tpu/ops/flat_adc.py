@@ -32,7 +32,7 @@ from ..metric import canonical_distance
 @functools.partial(
     jax.jit,
     static_argnames=("k", "distance", "chunk", "approx"))
-def flat_adc_scan(query, decoded, penalty, *, k, distance, chunk=131072,
+def flat_adc_scan(query, decoded, penalty, *, k, distance, chunk=1048576,
                   approx=True, scales=None):
     """query: [nq, d] f32 (preprocessed); decoded: [cap, d] bf16/f32/int8
     row-major cache; penalty: [cap] f32 = norms (euclidean) or 0, with BIG at
