@@ -37,15 +37,19 @@ jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "seg"))
-def _chunk_topk(q, base_t, b_sq, *, k, seg):
-    """Exact euclidean top-k of q [c, d] against base_t [d, n_pad].
+@functools.partial(jax.jit, static_argnames=("k", "seg", "metric"))
+def _chunk_topk(q, base_t, b_sq, *, k, seg, metric="euclidean"):
+    """Exact top-k of q [c, d] against base_t [d, n_pad].
 
-    b_sq is +inf on padding columns so padded scores are -inf.
+    euclidean: score = 2<q,y> - |y|^2 (b_sq = |y|^2, +inf on padding).
+    inner/cosine: score = <q,y> - b_sq with b_sq 0 on live columns and
+    +inf on padding (cosine callers pre-normalize q and base).
     Returns (vals [c, k], addr [c, k]) with addr in base row indices.
     """
-    s = 2.0 * jnp.matmul(q, base_t,
-                         precision=jax.lax.Precision.HIGHEST) - b_sq
+    s = jnp.matmul(q, base_t, precision=jax.lax.Precision.HIGHEST)
+    if metric == "euclidean":
+        s = 2.0 * s
+    s = s - b_sq
     c, n_pad = s.shape
     n_seg = n_pad // seg
     v, i = jax.lax.top_k(s.reshape(c, n_seg, seg), k)    # exact within seg
@@ -55,11 +59,15 @@ def _chunk_topk(q, base_t, b_sq, *, k, seg):
     return v2, addr
 
 
-def gt_on_tpu(base, query, k, chunk=64, seg=4096):
+def gt_on_tpu(base, query, k, chunk=64, seg=4096, metric="euclidean"):
+    if metric == "cosine":
+        base = base / np.linalg.norm(base, axis=1, keepdims=True)
+        query = query / np.linalg.norm(query, axis=1, keepdims=True)
     n, d = base.shape
     n_pad = ((n + seg - 1) // seg) * seg
     b_sq = np.full((n_pad,), np.inf, np.float32)
-    b_sq[:n] = (base.astype(np.float32) ** 2).sum(1)
+    b_sq[:n] = ((base.astype(np.float32) ** 2).sum(1)
+                if metric == "euclidean" else 0.0)
     print(f"[gt_tpu] uploading base {n}x{d} (+pad {n_pad - n})",
           file=sys.stderr)
     base_t = np.zeros((d, n_pad), np.float32)
@@ -77,7 +85,8 @@ def gt_on_tpu(base, query, k, chunk=64, seg=4096):
         m = len(q)
         if m < chunk:  # keep one jit specialization
             q = np.pad(q, ((0, chunk - m), (0, 0)))
-        _, addr = _chunk_topk(jnp.asarray(q), base_t, b_sq, k=k, seg=seg)
+        _, addr = _chunk_topk(jnp.asarray(q), base_t, b_sq, k=k, seg=seg,
+                              metric=metric)
         out[i:i + m] = np.asarray(addr[:m], np.int64)
         if i == 0:
             print(f"[gt_tpu] first chunk (incl. compile) "
@@ -92,6 +101,11 @@ def main():
     ap.add_argument("--xl", action="store_true")
     ap.add_argument("--check-1m", action="store_true")
     ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--metric", default="euclidean",
+                    choices=("euclidean", "inner", "cosine"))
+    ap.add_argument("--key", default=None,
+                    help="cache-key override, e.g. sweep_sift1m_cosine "
+                         "(writes the file benchmark/sweep.py reads)")
     args = ap.parse_args()
 
     from bench import make_data
@@ -114,8 +128,9 @@ def main():
     else:
         n_base, n_query, key = 1_000_000, 10_000, "full"
     base, query = make_data(n_base, n_query, 128)
-    got = gt_on_tpu(base, query, args.k)
-    path = f"/tmp/gt_{key}_euclidean_{n_base}_{n_query}_{args.k}.npy"
+    got = gt_on_tpu(base, query, args.k, metric=args.metric)
+    key = args.key or key
+    path = f"/tmp/gt_{key}_{args.metric}_{n_base}_{n_query}_{args.k}.npy"
     np.save(path, got)
     print(f"[gt_tpu] wrote {path}")
 
