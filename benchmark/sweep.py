@@ -84,14 +84,25 @@ def main():
     index.spill_capacity = index.max_cell_capacity
     index.scan_group = 4  # supercell grouping (see ops/adc.py)
 
+    def _mem(tag):
+        ms = jax.local_devices()[0].memory_stats() or {}
+        print(f"[mem] {tag}: in_use="
+              f"{ms.get('bytes_in_use', 0) / 1e9:.2f}GB peak="
+              f"{ms.get('peak_bytes_in_use', 0) / 1e9:.2f}GB limit="
+              f"{ms.get('bytes_limit', 0) / 1e9:.2f}GB", file=sys.stderr)
+
     t0 = time.perf_counter()
     index.train(jnp.asarray(learn).T)
     jax.effects_barrier()
     train_s = time.perf_counter() - t0
+    _mem("post-train")
+    # scale the ingest chunk with d: transients are O(chunk * d)
+    chunk_n = max(62_500, 250_000 * 128 // d)
     t0 = time.perf_counter()
-    for i in range(0, len(base), 250_000):
-        index.add(jnp.asarray(base[i:i + 250_000]).T)
-    jax.effects_barrier()
+    for i in range(0, len(base), chunk_n):
+        index.add(jnp.asarray(base[i:i + chunk_n]).T)
+        jax.effects_barrier()
+        _mem(f"add[{i + chunk_n}]")
     add_s = time.perf_counter() - t0
     print(f"train {train_s:.1f}s add {add_s:.1f}s", file=sys.stderr)
 

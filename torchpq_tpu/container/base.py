@@ -17,11 +17,23 @@ Design notes (TPU-first):
   are kept in python so growth decisions never force a device sync.
 """
 
+import functools
+
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..module import StateModule
 from .. import util
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _aux_scatter(aux, pad, tgt):
+    """Donated scatter for aux row stores. The decoded scan cache is the
+    largest array in an index ([cap, d] — ~4 GB at GIST1M scale); without
+    donation every add chunk transiently holds two copies of it, which
+    OOMs a 16 GB chip. tgt == capacity rows are dropped (invalid items)."""
+    return aux.at[tgt].set(pad, mode="drop")
 
 
 class BaseContainer(StateModule):
@@ -45,7 +57,7 @@ class BaseContainer(StateModule):
         self._max_id = 0
         self._id_capacity = util.next_pow2(max(cap, 1))
         self.register_state("_address2id",
-                            jnp.full((cap,), -1, jnp.int64))
+                            jnp.full((cap,), -1, util.id_dtype()))
         self.register_state("_id2address",
                             jnp.full((self._id_capacity,), -1, jnp.int32))
 

@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from .. import util
-from .base import BaseContainer
+from .base import BaseContainer, _aux_scatter
 
 
 @functools.partial(jax.jit, static_argnames=("n_cells",))
@@ -161,7 +161,7 @@ class CellContainer(BaseContainer):
         self.dtype = util.str2dtype(dtype)
         cap = per_cell * n_cells
         self._capacity = cap
-        self.register_state("_address2id", jnp.full((cap,), -1, jnp.int64))
+        self.register_state("_address2id", jnp.full((cap,), -1, util.id_dtype()))
         self.register_state(
             "_storage", jnp.zeros((cap, self.code_size), self.dtype))
         self.register_state(
@@ -337,7 +337,7 @@ class CellContainer(BaseContainer):
         else:
             cellsj = jnp.zeros((b,), jnp.int32).at[:n].set(
                 jnp.asarray(cells_np, dtype=jnp.int32))
-        idsj = jnp.zeros((b,), jnp.int64).at[:n].set(jnp.asarray(ids_np))
+        idsj = jnp.zeros((b,), util.id_dtype()).at[:n].set(jnp.asarray(ids_np))
         valid = jnp.arange(b) < n
         st, a2i, i2a, emp, csz, addr = _cell_add(
             self._storage, self._address2id, self._id2address,
@@ -349,14 +349,13 @@ class CellContainer(BaseContainer):
         self.register_state("_is_empty", emp)
         self.register_state("_cell_size", csz)
         if aux_rows:
+            tgt = jnp.where(valid, addr, self._capacity)
             for name, arr in aux_rows.items():
                 cols, dt = self._aux[name]
                 pad = jnp.zeros((b, cols), dt).at[:n].set(
                     jnp.asarray(arr).astype(dt))
                 self.register_state(
-                    "_aux_" + name,
-                    self.aux(name).at[jnp.where(valid, addr, self._capacity)]
-                    .set(pad, mode="drop"))
+                    "_aux_" + name, _aux_scatter(self.aux(name), pad, tgt))
         self._n_items += n
         self._mutations += 1
         self._cell_size_np += counts
@@ -408,7 +407,7 @@ class CellContainer(BaseContainer):
     def empty(self):
         """Drop all items, keep layout (reference CellContainer.empty)."""
         self.register_state("_address2id",
-                            jnp.full((self._capacity,), -1, jnp.int64))
+                            jnp.full((self._capacity,), -1, util.id_dtype()))
         self.register_state("_id2address",
                             jnp.full((self._id_capacity,), -1, jnp.int32))
         self.register_state("_is_empty", jnp.ones((self._capacity,), bool))

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from .. import util
-from .base import BaseContainer
+from .base import BaseContainer, _aux_scatter
 
 
 @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
@@ -149,7 +149,7 @@ class FlatContainer(BaseContainer):
             self.register_state("_aux_" + name, jnp.concatenate(
                 [self.aux(name), jnp.zeros((pad, cols), dt)]))
         self.register_state("_address2id", jnp.concatenate(
-            [self._address2id, jnp.full((pad,), -1, jnp.int64)]))
+            [self._address2id, jnp.full((pad,), -1, self._address2id.dtype)]))
         self._capacity = new_cap
         self.print_message(f"expanded to capacity {new_cap}", 1)
 
@@ -173,7 +173,7 @@ class FlatContainer(BaseContainer):
         b = util.next_pow2(max(n, 1))
         rows = jnp.zeros((b, self.code_size), self.dtype).at[:n].set(
             data.T.astype(self.dtype))
-        idsj = jnp.zeros((b,), jnp.int64).at[:n].set(jnp.asarray(ids_np))
+        idsj = jnp.zeros((b,), util.id_dtype()).at[:n].set(jnp.asarray(ids_np))
         valid = (jnp.arange(b) < n)
         st, a2i, i2a, addr = _flat_add(
             self._storage, self._address2id, self._id2address,
@@ -182,14 +182,13 @@ class FlatContainer(BaseContainer):
         self.register_state("_address2id", a2i)
         self.register_state("_id2address", i2a)
         if aux_rows:
+            tgt = jnp.where(valid, addr, self._capacity)
             for name, arr in aux_rows.items():
                 cols, dt = self._aux[name]
                 pad = jnp.zeros((b, cols), dt).at[:n].set(
                     jnp.asarray(arr).astype(dt))
                 self.register_state(
-                    "_aux_" + name,
-                    self.aux(name).at[jnp.where(valid, addr, self._capacity)]
-                    .set(pad, mode="drop"))
+                    "_aux_" + name, _aux_scatter(self.aux(name), pad, tgt))
         self._n_items += n
         if return_address:
             return jnp.asarray(ids_np), addr[:n]
@@ -230,7 +229,7 @@ class FlatContainer(BaseContainer):
     def empty(self):
         """Drop all items (reference FlatContainer.empty, :92-95)."""
         self.register_state("_address2id",
-                            jnp.full((self._capacity,), -1, jnp.int64))
+                            jnp.full((self._capacity,), -1, util.id_dtype()))
         self.register_state("_id2address",
                             jnp.full((self._id_capacity,), -1, jnp.int32))
         self._n_items = 0

@@ -42,6 +42,15 @@ def str2dtype(dtype):
     return jnp.dtype(aliases.get(dtype, dtype))
 
 
+def id_dtype():
+    """Dtype for user-visible id arrays: int64 under jax_enable_x64 (the
+    reference's int64 handles), int32 under JAX's default x32 mode (fine
+    below 2^31 items). Creating arrays at this dtype instead of a blanket
+    int64 avoids jax's per-call truncation warning."""
+    import jax
+    return jnp.int64 if jax.config.jax_enable_x64 else jnp.int32
+
+
 def normalize(x, axis=-1, eps=1e-12):
     """L2-normalize along `axis` (reference torchpq/util.py `normalize`)."""
     n = jnp.linalg.norm(x, axis=axis, keepdims=True)
