@@ -117,8 +117,10 @@ def brute_force_topk(base, query, k, chunk=None, cache_key=None,
         if os.path.exists(path):
             return np.load(path)
     if metric == "cosine":
-        base = base / np.linalg.norm(base, axis=1, keepdims=True)
-        query = query / np.linalg.norm(query, axis=1, keepdims=True)
+        base = base / np.maximum(
+            np.linalg.norm(base, axis=1, keepdims=True), 1e-12)
+        query = query / np.maximum(
+            np.linalg.norm(query, axis=1, keepdims=True), 1e-12)
     if chunk is None:  # ~4 GB score buffer
         chunk = max(32, min(512, (2 ** 30) // max(1, len(base))))
     b_sq = (base * base).sum(1)
@@ -182,6 +184,10 @@ def main():
                          "cache, so train+add cost ~9 min per fresh run)")
     ap.add_argument("--skip-build-metrics", action="store_true",
                     help="with --state: skip the cold/warm build timing")
+    ap.add_argument("--latency", action="store_true",
+                    help="also measure small-batch search latency (batch "
+                         "1/16/256 — the query_major path; the throughput "
+                         "sweep only exercises the big-batch planner)")
     ap.add_argument("--ingest", default="bf16", choices=("f32", "bf16"),
                     help="wire dtype for add(): bf16 halves H2D bytes (the "
                          "decoded scan cache is bf16 anyway; PQ encode on "
@@ -283,6 +289,25 @@ def main():
               file=sys.stderr)
     index.scan_mode = "auto"
 
+    latency_ms = {}
+    if args.latency:
+        # small-batch latency: auto mode plans the query_major scan below
+        # the batch threshold; fresh query slices defeat any caching
+        index.n_probe = args.n_probe
+        for b in (1, 16, 256):
+            n_iters = 30 if b <= 16 else 10
+            offs = [(i * b) % max(n_query - b, 1) for i in range(n_iters)]
+            v, _ = index.search(qj[:, offs[0]:offs[0] + b], k=args.k)
+            jax.block_until_ready(v)
+            t0 = time.perf_counter()
+            for o in offs:
+                v, _ = index.search(qj[:, o:o + b], k=args.k)
+                jax.block_until_ready(v)
+            dt = (time.perf_counter() - t0) / n_iters
+            latency_ms[b] = round(dt * 1e3, 3)
+            print(f"[bench] latency batch={b}: {dt * 1e3:.3f} ms "
+                  f"({b / dt:,.0f} q/s)", file=sys.stderr)
+
     # warm (steady-state) build times: all programs compiled, measuring pure
     # execution — what a production ingest pipeline pays per batch
     if args.state and args.skip_build_metrics:
@@ -361,6 +386,8 @@ def main():
             "baseline_ceiling_T4": 0.995,
         },
     }
+    if latency_ms:
+        result["extras"]["latency_ms"] = latency_ms
     print(json.dumps(result))
 
 

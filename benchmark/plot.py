@@ -31,22 +31,26 @@ TEXT, MUTED, GRID = "#1a1a19", "#6b6a60", "#e5e4dc"
 
 
 def load_results(results_dir, match):
+    """[(name, data, slot)] — slot is the file's position among ALL result
+    files so a series keeps its color regardless of the --match filter."""
     out = []
-    for path in sorted(glob.glob(os.path.join(results_dir, "*.json"))):
+    for slot, path in enumerate(
+            sorted(glob.glob(os.path.join(results_dir, "*.json")))):
         if match and match not in os.path.basename(path):
             continue
         with open(path) as f:
             data = json.load(f)
         if isinstance(data, dict) and "entries" in data:
-            out.append((os.path.basename(path)[:-5], data))
+            out.append((os.path.basename(path)[:-5], data, slot))
     return out
 
 
 def plot_k(results, k, out_path):
     fig, ax = plt.subplots(figsize=(7.2, 4.6), dpi=160)
     drew = False
-    for i, (name, data) in enumerate(results):
-        color, marker = PALETTE[i % len(PALETTE)], MARKERS[i % len(MARKERS)]
+    for name, data, slot in results:
+        color = PALETTE[slot % len(PALETTE)]
+        marker = MARKERS[slot % len(MARKERS)]
         key = f"recall@{k}"
         curve = [(e[key], e["qps"]) for e in data["entries"]
                  if key in e and e["n_probe"] != "flat"]

@@ -61,8 +61,10 @@ def _chunk_topk(q, base_t, b_sq, *, k, seg, metric="euclidean"):
 
 def gt_on_tpu(base, query, k, chunk=64, seg=4096, metric="euclidean"):
     if metric == "cosine":
-        base = base / np.linalg.norm(base, axis=1, keepdims=True)
-        query = query / np.linalg.norm(query, axis=1, keepdims=True)
+        base = base / np.maximum(
+            np.linalg.norm(base, axis=1, keepdims=True), 1e-12)
+        query = query / np.maximum(
+            np.linalg.norm(query, axis=1, keepdims=True), 1e-12)
     n, d = base.shape
     n_pad = ((n + seg - 1) // seg) * seg
     b_sq = np.full((n_pad,), np.inf, np.float32)
@@ -105,15 +107,18 @@ def main():
                     choices=("euclidean", "inner", "cosine"))
     ap.add_argument("--key", default=None,
                     help="cache-key override, e.g. sweep_sift1m_cosine "
-                         "(writes the file benchmark/sweep.py reads)")
+                         "(writes the file benchmark/sweep.py reads; sweep "
+                         "looks the cache up at k = max(--ks), so pass the "
+                         "matching --k, e.g. --k 100)")
     args = ap.parse_args()
 
     from bench import make_data
 
     if args.check_1m:
         base, query = make_data(1_000_000, 10_000, 128)
-        got = gt_on_tpu(base, query, args.k)
-        ref = np.load(f"/tmp/gt_full_euclidean_1000000_10000_{args.k}.npy")
+        got = gt_on_tpu(base, query, args.k, metric=args.metric)
+        ref = np.load(
+            f"/tmp/gt_full_{args.metric}_1000000_10000_{args.k}.npy")
         match = (got == ref).mean()
         print(f"[gt_tpu] element match vs host-BLAS GT: {match:.6f}")
         # mismatches must be score ties / epsilon reorderings, not errors:

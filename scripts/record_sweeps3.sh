@@ -4,8 +4,12 @@
 # sweep). Serial: one TPU process at a time. GT caches: sift1m_class and
 # gist1m_class exist; sift1m_residual is seeded from sift1m_class (same
 # data+metric); sift1m_cosine is computed host-side in parallel.
-set -x
+set -xeo pipefail
 P=/opt/venv/bin/python
+# seed the residual sweep's GT cache from the class sweep (same data+metric)
+CLS=/tmp/gt_sweep_sift1m_class_euclidean_1000000_10000_100.npy
+RES=/tmp/gt_sweep_sift1m_residual_euclidean_1000000_10000_100.npy
+[ -f "$CLS" ] && [ ! -f "$RES" ] && cp "$CLS" "$RES"
 env PYTHONUNBUFFERED=1 $P -u benchmark/sweep.py \
   --n-probes 1 2 4 8 16 32 64 128 --name sift1m_class 2>&1 | tail -3
 env PYTHONUNBUFFERED=1 $P -u benchmark/sweep.py \

@@ -25,6 +25,11 @@ def _load(path, name):
 
 @pytest.fixture(scope="module")
 def sweep_json():
+    # the GT cache key (bench.brute_force_topk) omits d, so a stale file
+    # from an earlier fixture revision would silently poison the recalls
+    gt = "/tmp/gt_sweep_smoke_euclidean_2000_64_10.npy"
+    if os.path.exists(gt):
+        os.remove(gt)
     sweep = _load(os.path.join(REPO, "benchmark", "sweep.py"), "_sweep_smoke")
     argv = sys.argv
     sys.argv = ["sweep.py", "--n-base", "2000", "--n-query", "64",
@@ -37,8 +42,9 @@ def sweep_json():
         sys.argv = argv
     path = os.path.join(REPO, "benchmark", "results", "ivf64_pq8_smoke.json")
     yield path
-    if os.path.exists(path):
-        os.remove(path)
+    for p in (path, gt):
+        if os.path.exists(p):
+            os.remove(p)
 
 
 def test_sweep_records_probing_curve_and_flat(sweep_json):

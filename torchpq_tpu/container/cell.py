@@ -198,6 +198,17 @@ class CellContainer(BaseContainer):
     def aux(self, name):
         return getattr(self, "_aux_" + name)
 
+    def set_aux_rebuilder(self, names, fn):
+        """Mark aux stores as *derived*: on relayout they are freed before
+        the storage gathers and recreated by fn() (which must return
+        {name: [new_capacity, cols] array} for every name, reading the
+        already-relayouted canonical state). This caps relayout peak
+        memory at ONE copy of each derived store — gathering them like
+        primary state would transiently hold old + new copies of the
+        decoded scan cache (~12 GB at GIST1M scale, an OOM)."""
+        self._aux_rebuild_names = tuple(names)
+        self._aux_rebuilder = fn
+
     # -- address helpers --
     def get_cell_by_address(self, address):
         """address [n] -> owning cell [n] (-1 if out of range); reference
@@ -280,6 +291,11 @@ class CellContainer(BaseContainer):
         old_caps = self._cell_capacity
         new_start = jnp.asarray(new_start_np, jnp.int32)
 
+        rebuild = (set(getattr(self, "_aux_rebuild_names", ()))
+                   if getattr(self, "_aux_rebuilder", None) else set())
+        for name in rebuild:
+            # free derived stores BEFORE the gathers; recreated below
+            setattr(self, "_aux_" + name, None)
         self.register_state("_storage", _relayout_gather(
             self._storage, old_start, old_caps, new_start, new_total, 0))
         self.register_state("_address2id", _relayout_gather(
@@ -287,6 +303,8 @@ class CellContainer(BaseContainer):
         self.register_state("_is_empty", _relayout_gather(
             self._is_empty, old_start, old_caps, new_start, new_total, True))
         for name in self._aux:
+            if name in rebuild:
+                continue
             self.register_state("_aux_" + name, _relayout_gather(
                 self.aux(name), old_start, old_caps, new_start, new_total, 0))
         self.register_state("_cell_start", new_start)
@@ -294,6 +312,11 @@ class CellContainer(BaseContainer):
                             jnp.asarray(new_caps, jnp.int32))
         self._cell_capacity_np = new_caps
         self._capacity = new_total
+        if rebuild:
+            rebuilt = self._aux_rebuilder()
+            for name in rebuild:
+                assert rebuilt[name].shape[0] == new_total
+                self.register_state("_aux_" + name, rebuilt[name])
         self._mutations += 1
         # rebuild inverse map (addresses moved wholesale)
         self.create_inverse_id_mapping()

@@ -90,6 +90,36 @@ def _compact_flat_cache(decoded, norms, is_empty, scales, *, n_pad):
 
 
 @functools.partial(
+    jax.jit, static_argnames=("chunk", "int8", "out_dtype", "residual"))
+def _cache_chunk(storage, cell_start, pq_codebook, vq_rows, c0, *, chunk,
+                 int8, out_dtype, residual):
+    """Recompute one [chunk, d] block of the decoded scan cache from the
+    canonical uint8 codes (inner step of the relayout aux rebuilder).
+    c0 is clamped by the caller; overlapping rows recompute identically."""
+    from ..codec.pq import _decode_nd
+    m, _, dsub = pq_codebook.shape
+    codes = jax.lax.dynamic_slice(storage, (c0, 0), (chunk, storage.shape[1]))
+    dec = _decode_nd(codes, pq_codebook, m=m, dsub=dsub)
+    if residual:
+        idx = c0 + jnp.arange(chunk)
+        cell = jnp.clip(jnp.searchsorted(cell_start, idx, side="right") - 1,
+                        0, cell_start.shape[0] - 1)
+        dec = dec + vq_rows[cell]
+    nrm = jnp.sum(jnp.square(dec), axis=-1, keepdims=True)
+    if int8:
+        absmax = jnp.maximum(
+            jnp.max(jnp.abs(dec), axis=-1, keepdims=True), 1e-12)
+        scale = absmax / 127.0
+        return jnp.round(dec / scale).astype(jnp.int8), nrm, scale
+    return dec.astype(out_dtype), nrm, None
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _write_rows(out, block, c0):
+    return jax.lax.dynamic_update_slice(out, block, (c0, 0))
+
+
+@functools.partial(
     jax.jit, static_argnames=("k", "distance", "approx", "impl"))
 def _search_flat(q, decoded, norms, is_empty, addr_map, address2id, *,
                  k, distance, approx, impl, scales=None):
@@ -214,6 +244,40 @@ class IVFPQIndex(CellContainer):
         # compacted flat-scan cache: (mutation counter it was built at,
         # (decoded, norms, is_empty, addr_map, scales))
         self._flat_cache = None
+        # the scan caches are derived from the codes: relayout drops and
+        # recomputes them instead of gathering (halves its peak memory)
+        self.set_aux_rebuilder(
+            ("decoded", "norm") + (("scale",) if self._int8_cache else ()),
+            self._rebuild_scan_cache)
+
+    def _rebuild_scan_cache(self):
+        """Recompute decoded/norm(/scale) from the canonical codes in
+        ~512 MB blocks (see CellContainer.set_aux_rebuilder). Never-written
+        slots decode to garbage instead of zeros; every consumer masks by
+        is_empty, so that is unobservable."""
+        cap, d = self._capacity, self.d_vector
+        dec_dt = self._aux["decoded"][1]
+        chunk = min(cap, util.next_pow2(max(16384, (1 << 27) // max(d, 1))))
+        vq_rows = (self.vq_codec.kmeans._centroids[0]
+                   if self.pq_use_residual else None)
+        dec = jnp.zeros((cap, d), dec_dt)
+        nrm = jnp.zeros((cap, 1), jnp.float32)
+        sc = jnp.zeros((cap, 1), jnp.float32) if self._int8_cache else None
+        for i in range(-(-cap // chunk)):
+            c0 = min(i * chunk, cap - chunk)
+            db, nb, sb = _cache_chunk(
+                self._storage, self._cell_start,
+                self.pq_codec.codebook_internal, vq_rows, c0, chunk=chunk,
+                int8=self._int8_cache, out_dtype=dec_dt,
+                residual=self.pq_use_residual)
+            dec = _write_rows(dec, db, c0)
+            nrm = _write_rows(nrm, nb, c0)
+            if sb is not None:
+                sc = _write_rows(sc, sb, c0)
+        out = {"decoded": dec, "norm": nrm}
+        if self._int8_cache:
+            out["scale"] = sc
+        return out
 
     # ---- tunable properties (reference IVFPQIndex.py:89-232) ----
     @property

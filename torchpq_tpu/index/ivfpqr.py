@@ -21,7 +21,32 @@ import jax.numpy as jnp
 from .. import util
 from ..codec import PQCodec
 from ..ops.adc import _block_scores
-from .ivfpq import IVFPQIndex
+from .ivfpq import IVFPQIndex, _write_rows
+
+
+@functools.partial(
+    jax.jit, static_argnames=("chunk", "out_dtype", "residual"))
+def _full_cache_chunk(storage, rerank_codes, cell_start, pq_codebook,
+                      rr_codebook, vq_rows, c0, *, chunk, out_dtype,
+                      residual):
+    """One [chunk, d] block of the two-stage reconstruction cache,
+    recomputed from the canonical base + rerank codes (relayout
+    rebuilder; see IVFPQIndex._rebuild_scan_cache)."""
+    from ..codec.pq import _decode_nd
+    m, _, dsub = pq_codebook.shape
+    mr, _, dsubr = rr_codebook.shape
+    codes = jax.lax.dynamic_slice(storage, (c0, 0), (chunk, storage.shape[1]))
+    rcodes = jax.lax.dynamic_slice(
+        rerank_codes, (c0, 0), (chunk, rerank_codes.shape[1]))
+    dec = _decode_nd(codes, pq_codebook, m=m, dsub=dsub)
+    if residual:
+        idx = c0 + jnp.arange(chunk)
+        cell = jnp.clip(jnp.searchsorted(cell_start, idx, side="right") - 1,
+                        0, cell_start.shape[0] - 1)
+        dec = dec + vq_rows[cell]
+    dec = dec + _decode_nd(rcodes, rr_codebook, m=mr, dsub=dsubr)
+    nrm = jnp.sum(jnp.square(dec), axis=-1, keepdims=True)
+    return dec.astype(out_dtype), nrm
 
 
 @functools.partial(jax.jit, static_argnames=("k", "distance"))
@@ -54,6 +79,34 @@ class IVFPQRIndex(IVFPQIndex):
             d_vector=d_vector, n_subvectors=n_subvectors_rerank,
             n_clusters=256, distance=self.distance,
             verbose=kwargs.get("verbose", 0)))
+        assert not self._int8_cache, \
+            "IVFPQRIndex requires a float scan cache (the rerank stage " \
+            "scores against decoded_full directly)"
+        self.set_aux_rebuilder(
+            ("decoded", "norm", "decoded_full", "norm_full"),
+            self._rebuild_scan_cache)
+
+    def _rebuild_scan_cache(self):
+        out = super()._rebuild_scan_cache()
+        cap, d = self._capacity, self.d_vector
+        dec_dt = self._aux["decoded_full"][1]
+        chunk = min(cap, util.next_pow2(max(16384, (1 << 27) // max(d, 1))))
+        vq_rows = (self.vq_codec.kmeans._centroids[0]
+                   if self.pq_use_residual else None)
+        dec = jnp.zeros((cap, d), dec_dt)
+        nrm = jnp.zeros((cap, 1), jnp.float32)
+        for i in range(-(-cap // chunk)):
+            c0 = min(i * chunk, cap - chunk)
+            db, nb = _full_cache_chunk(
+                self._storage, self.aux("rerank_codes"), self._cell_start,
+                self.pq_codec.codebook_internal,
+                self.rerank_codec.codebook_internal, vq_rows, c0,
+                chunk=chunk, out_dtype=dec_dt, residual=self.pq_use_residual)
+            dec = _write_rows(dec, db, c0)
+            nrm = _write_rows(nrm, nb, c0)
+        out["decoded_full"] = dec
+        out["norm_full"] = nrm
+        return out
 
     @property
     def is_trained(self):
