@@ -59,6 +59,12 @@ class OPQ(BaseCodec):
         self.pq.train(r @ x)
         self._set_trained(True)
 
+    def rotate(self, x):
+        """Apply the learned orthogonal rotation only ([d, n] -> [d, n]) —
+        for pipelines that feed rotated vectors to their own index/codec."""
+        assert self.is_trained
+        return self._rotation @ jnp.asarray(x)
+
     def encode(self, x):
         assert self.is_trained
         return self.pq.encode(self._rotation @ jnp.asarray(x))
