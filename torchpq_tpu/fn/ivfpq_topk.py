@@ -23,10 +23,14 @@ class IVFPQTopk:
         self.approx = approx
 
     def topk(self, query, cells, probe_mask, decoded, norms, is_empty,
-             cell_start, cell_capacity, *, k, distance, s_max, scales=None):
-        """Returns (values [nq, k] f32, addresses [nq, k] i32; -1 padding)."""
+             cell_start, cell_capacity, *, k, distance, s_max, scales=None,
+             mode=None, approx=None, impl="xla", group=1, precision=None):
+        """Returns (values [nq, k] f32, addresses [nq, k] i32; -1 padding).
+        mode/approx default to the instance settings; impl/group/precision
+        pass through to the cell-major scan."""
         nq = query.shape[0]
-        mode = self.mode
+        mode = mode or self.mode
+        approx = self.approx if approx is None else approx
         if mode in ("auto", "flat"):
             mode = "query_major" if nq < self.batch_threshold else "cell_major"
         if scales is not None:
@@ -35,9 +39,9 @@ class IVFPQTopk:
             return adc.scan_query_major(
                 query, cells, probe_mask, decoded, norms, is_empty,
                 cell_start, cell_capacity, k=k, distance=distance,
-                s_max=s_max, approx=self.approx)
+                s_max=s_max, approx=approx, precision=precision)
         return adc.scan_cell_major(
             query, cells, probe_mask, decoded, norms, is_empty,
             cell_start, cell_capacity, k=k, distance=distance, s_max=s_max,
-            n_cells=self.n_cells, p_tile=self.p_tile, approx=self.approx,
-            scales=scales)
+            n_cells=self.n_cells, p_tile=self.p_tile, approx=approx,
+            scales=scales, impl=impl, group=group, precision=precision)

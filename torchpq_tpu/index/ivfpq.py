@@ -120,9 +120,9 @@ def _write_rows(out, block, c0):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "distance", "approx", "impl"))
+    jax.jit, static_argnames=("k", "distance", "approx", "impl", "precision"))
 def _search_flat(q, decoded, norms, is_empty, addr_map, address2id, *,
-                 k, distance, approx, impl, scales=None):
+                 k, distance, approx, impl, scales=None, precision=None):
     """Flat-mode query path over a (possibly compacted) cache: exhaustive
     MXU sweep + address translation. recall = the full ADC ceiling."""
     from ..ops.flat_adc import flat_adc_auto
@@ -130,7 +130,8 @@ def _search_flat(q, decoded, norms, is_empty, addr_map, address2id, *,
     penalty = jnp.where(is_empty, big,
                         norms if distance == "euclidean" else 0.0)
     vals, addr = flat_adc_auto(q, decoded, penalty, k=k, distance=distance,
-                               approx=approx, impl=impl, scales=scales)
+                               approx=approx, impl=impl, scales=scales,
+                               precision=precision)
     if addr_map is not None:
         addr = jnp.where(addr >= 0, addr_map[jnp.maximum(addr, 0)], -1)
     ids = jnp.where(addr >= 0, address2id[jnp.maximum(addr, 0)], -1)
@@ -150,33 +151,24 @@ def _search_full(q, coarse_codebook, decoded, norms, is_empty, cell_start,
     one kernel launch per stage (IVFPQIndex.py:469-524); here XLA fuses the
     glue and the host never touches intermediates.
 
-    mode="flat" bypasses probing entirely and brute-forces the decoded cache
-    on the MXU (ops/flat_adc.py) — recall equals the full ADC ceiling; on TPU
-    this outruns the IVF scan at high n_probe."""
+    (mode="flat" requests go through _search_flat, which also serves the
+    compacted cache — this function only runs the probing scans.)"""
     from ..ops import adc
-    if mode == "flat":
-        from ..ops.flat_adc import flat_adc_auto
-        big = jnp.float32(jnp.finfo(jnp.float32).max / 4)
-        penalty = jnp.where(is_empty, big,
-                            norms if distance == "euclidean" else 0.0)
-        vals, addr = flat_adc_auto(q, decoded, penalty, k=k,
-                                   distance=distance, approx=approx,
-                                   impl=impl, scales=scales)
-        ids = jnp.where(addr >= 0, address2id[jnp.maximum(addr, 0)], -1)
-        return vals, ids, addr
+    assert mode != "flat", "flat-mode searches go through _search_flat"
     _, cells, mask = _coarse_probe(
         q, coarse_codebook, temperature, n_probe=n_probe,
         use_smart=use_smart, precision=precision, approx=approx)
     if mode == "query_major":
         vals, addr = adc.scan_query_major(
             q, cells, mask, decoded, norms, is_empty, cell_start,
-            cell_capacity, k=k, distance=distance, s_max=s_max, approx=approx)
+            cell_capacity, k=k, distance=distance, s_max=s_max, approx=approx,
+            precision=precision)
     else:
         vals, addr = adc.scan_cell_major(
             q, cells, mask, decoded, norms, is_empty, cell_start,
             cell_capacity, k=k, distance=distance, s_max=s_max,
             n_cells=n_cells, approx=approx, impl=impl, group=group,
-            scales=scales)
+            scales=scales, precision=precision)
     ids = jnp.where(addr >= 0, address2id[jnp.maximum(addr, 0)], -1)
     return vals, ids, addr
 
@@ -263,7 +255,7 @@ class IVFPQIndex(CellContainer):
         dec = jnp.zeros((cap, d), dec_dt)
         nrm = jnp.zeros((cap, 1), jnp.float32)
         sc = jnp.zeros((cap, 1), jnp.float32) if self._int8_cache else None
-        for i in range(-(-cap // chunk)):
+        for i in range(util.cdiv(cap, chunk)):
             c0 = min(i * chunk, cap - chunk)
             db, nb, sb = _cache_chunk(
                 self._storage, self._cell_start,
@@ -473,17 +465,26 @@ class IVFPQIndex(CellContainer):
     def search_cells(self, x, cells, probe_mask=None, k=1,
                      return_address=False):
         """Scan explicit cells per query. x: [d_vector, nq];
-        cells: [nq, n_probe] (distinct per row)."""
-        q = jnp.asarray(x).T.astype(jnp.float32)
+        cells: [nq, n_probe] (distinct per row). Honors the index's current
+        scan_mode/scan_impl/scan_group/use_approx_topk exactly like
+        search()."""
+        x = jnp.asarray(x).astype(jnp.float32)
+        if self.distance == "cosine":
+            x = util.normalize(x, axis=0)
+        q = x.T
         cells = jnp.asarray(cells).astype(jnp.int32)
         if probe_mask is None:
             probe_mask = jnp.ones(cells.shape, bool)
+        precision = (config.SEARCH_PRECISION if self._use_tensor_core
+                     else jax.lax.Precision.HIGHEST)
         vals, addr = self._ivfpq_topk.topk(
             q, cells, probe_mask,
             self.aux("decoded"), self.aux("norm")[:, 0], self._is_empty,
             self._cell_start, self._cell_capacity,
             k=int(k), distance=self.distance, s_max=self.max_cell_capacity,
-            scales=self.aux("scale")[:, 0] if self._int8_cache else None)
+            scales=self.aux("scale")[:, 0] if self._int8_cache else None,
+            mode=self.scan_mode, approx=self._use_approx_topk,
+            impl=self.scan_impl, group=self.scan_group, precision=precision)
         ids = self.get_id_by_address(addr)
         ids = jnp.where(addr >= 0, ids, -1)
         if return_address:
@@ -500,7 +501,7 @@ class IVFPQIndex(CellContainer):
         scales = self.aux("scale")[:, 0] if self._int8_cache else None
         n = max(int(self.n_items), 1)
         unit = 131072 if n > 131072 else 2048
-        n_pad = -(-n // unit) * unit
+        n_pad = util.round_up(n, unit)
         if n_pad >= self.capacity:
             res = (self.aux("decoded"), self.aux("norm")[:, 0],
                    self._is_empty, None, scales)
@@ -545,8 +546,13 @@ class IVFPQIndex(CellContainer):
             # Exception: at high d the IVF scan's [blocks, p_tile, d] query-
             # tile gather dominates (measured d=960, k=100: IVF 342 q/s vs
             # flat 39.9k at better recall), so the k gate lifts there.
+            # approx epilogue only: the cost model was measured with the
+            # fused approx_max_k; the exact path is a per-chunk full sort
+            # (safe — flat_adc_scan bounds its tile — but unmeasured, so
+            # the planner won't claim it's faster)
             s_pow2 = util.next_pow2(self.max_cell_capacity)
-            if ((int(k) <= 32 or self.d_vector >= 512)
+            if (self._use_approx_topk
+                    and (int(k) <= 32 or self.d_vector >= 512)
                     and n_probe * s_pow2 * 128 >= max(int(self.n_items), 1)):
                 mode = "flat"
         if self._int8_cache and mode != "flat":
@@ -557,7 +563,7 @@ class IVFPQIndex(CellContainer):
                 q, dec, nrm, emp, amap, self._address2id,
                 k=int(k), distance=self.distance,
                 approx=self._use_approx_topk, impl=self.scan_impl,
-                scales=sc)
+                scales=sc, precision=precision)
             if return_address:
                 return vals, ids, addr
             return vals, ids
@@ -579,13 +585,20 @@ class IVFPQIndex(CellContainer):
     # ---- rescoring extras (reference legacy/IVFPQ.py:253-311) ----
     def similarity_at_address(self, x, address):
         """Similarity of each query against the stored vector at `address`
-        (v1-API capability the v2 reference dropped; kept here)."""
-        q = jnp.asarray(x).T.astype(jnp.float32)
+        (v1-API capability the v2 reference dropped; kept here). Values
+        match search()'s scoring exactly: cosine queries are normalized and
+        int8 caches are dequantized."""
+        x = jnp.asarray(x).astype(jnp.float32)
+        if self.distance == "cosine":
+            x = util.normalize(x, axis=0)
+        q = x.T
         address = jnp.asarray(address)
         valid = (address >= 0) & (address < self._capacity)
         safe = jnp.where(valid, address, 0)
         valid = valid & ~self._is_empty[safe]
         y = self.aux("decoded")[safe].astype(jnp.float32)
+        if self._int8_cache:
+            y = y * self.aux("scale")[safe]
         y_sq = self.aux("norm")[safe, 0]
         from ..ops.adc import _block_scores
         sims = _block_scores(q[None], y[None], y_sq[None], self.distance)[0]

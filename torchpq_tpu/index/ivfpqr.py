@@ -95,7 +95,7 @@ class IVFPQRIndex(IVFPQIndex):
                    if self.pq_use_residual else None)
         dec = jnp.zeros((cap, d), dec_dt)
         nrm = jnp.zeros((cap, 1), jnp.float32)
-        for i in range(-(-cap // chunk)):
+        for i in range(util.cdiv(cap, chunk)):
             c0 = min(i * chunk, cap - chunk)
             db, nb = _full_cache_chunk(
                 self._storage, self.aux("rerank_codes"), self._cell_start,

@@ -160,10 +160,11 @@ def _block_scores(qvecs, cand, cand_norms, distance, q_sq=None,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "distance", "s_max", "q_chunk", "approx"))
+    static_argnames=("k", "distance", "s_max", "q_chunk", "approx",
+                     "precision"))
 def scan_query_major(query, cells, probe_mask, decoded, norms, is_empty,
                      cell_start, cell_capacity, *, k, distance, s_max,
-                     q_chunk=16, approx=False):
+                     q_chunk=16, approx=False, precision=None):
     """Gather-and-score each query's probed candidate window.
 
     query: [nq, d] f32 (preprocessed); cells: [nq, n_probe] i32 (distinct per
@@ -172,6 +173,8 @@ def scan_query_major(query, cells, probe_mask, decoded, norms, is_empty,
     is_empty: [cap] bool; s_max: static upper bound on per-cell capacity.
     """
     distance = canonical_distance(distance)
+    assert decoded.dtype != jnp.int8, \
+        "int8 caches need per-slot scales — use scan_cell_major or the flat sweep"
     nq, n_probe = cells.shape
     cap_total = decoded.shape[0]
     slot_iota = jnp.arange(s_max, dtype=jnp.int32)
@@ -188,7 +191,8 @@ def scan_query_major(query, cells, probe_mask, decoded, norms, is_empty,
         cand = decoded[flat_addr]  # [qc, np*s, d]
         cand_norms = norms[flat_addr]
         # _block_scores wants [B, P, d]: use B=qc, P=1
-        scores = _block_scores(q[:, None, :], cand, cand_norms, distance)
+        scores = _block_scores(q[:, None, :], cand, cand_norms, distance,
+                               precision=precision)
         scores = scores[:, 0, :]  # [qc, np*s]
         scores = jnp.where(valid, scores, -jnp.inf)
         if approx:
@@ -240,11 +244,12 @@ def _sortable_i32_f32(key):
 @functools.partial(
     jax.jit,
     static_argnames=("k", "distance", "s_max", "n_cells", "p_tile",
-                     "block_chunk", "approx", "impl", "interpret", "group"))
+                     "block_chunk", "approx", "impl", "interpret", "group",
+                     "precision"))
 def scan_cell_major(query, cells, probe_mask, decoded, norms, is_empty,
                     cell_start, cell_capacity, *, k, distance, s_max, n_cells,
                     p_tile=128, block_chunk=8, approx=False, impl="xla",
-                    interpret=False, group=1, scales=None):
+                    interpret=False, group=1, scales=None, precision=None):
     """Inverted-probe-list grouped-matmul scan.
 
     Probed (query, cell) pairs are sorted by cell and packed into blocks of up
@@ -453,6 +458,7 @@ def scan_cell_major(query, cells, probe_mask, decoded, norms, is_empty,
             else:
                 ab = jnp.einsum("bpd,bsd->bps", qvecs,
                                 cand.astype(qvecs.dtype),
+                                precision=precision or config.SEARCH_PRECISION,
                                 preferred_element_type=jnp.float32)
                 scores = (2.0 * ab if distance == "euclidean" else ab)
                 scores = scores - pen[:, None, :]

@@ -26,14 +26,15 @@ import jax
 import jax.numpy as jnp
 
 from .. import config
+from .. import util
 from ..metric import canonical_distance
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "distance", "chunk", "approx"))
+    static_argnames=("k", "distance", "chunk", "approx", "precision"))
 def flat_adc_scan(query, decoded, penalty, *, k, distance, chunk=1048576,
-                  approx=True, scales=None):
+                  approx=True, scales=None, precision=None):
     """query: [nq, d] f32 (preprocessed); decoded: [cap, d] bf16/f32/int8
     row-major cache; penalty: [cap] f32 = norms (euclidean) or 0, with BIG at
     empty slots; scales: [cap] f32 per-slot dequant scales (int8 cache only).
@@ -45,6 +46,10 @@ def flat_adc_scan(query, decoded, penalty, *, k, distance, chunk=1048576,
     distance = canonical_distance(distance)
     nq, d = query.shape
     cap = decoded.shape[0]
+    if not approx:
+        # the exact path's lax.top_k materializes the [nq, chunk] scores
+        # (a full sort, CLAUDE.md) — bound the tile to ~2 GB
+        chunk = min(chunk, max(65536, (1 << 29) // max(nq, 1)))
     chunk = min(chunk, cap)
     big = jnp.float32(jnp.finfo(jnp.float32).max / 4)
 
@@ -60,7 +65,7 @@ def flat_adc_scan(query, decoded, penalty, *, k, distance, chunk=1048576,
     else:
         q_mm = query
 
-    n_chunks = -(-cap // chunk)
+    n_chunks = util.cdiv(cap, chunk)
     k_c = min(k, chunk)
 
     def one(c0):
@@ -87,6 +92,7 @@ def flat_adc_scan(query, decoded, penalty, *, k, distance, chunk=1048576,
         else:
             ab = jax.lax.dot_general(
                 q_mm, block.astype(q_mm.dtype), (((1,), (1,)), ((), ())),
+                precision=precision or config.SEARCH_PRECISION,
                 preferred_element_type=jnp.float32)
             s = (2.0 * ab if distance == "euclidean" else ab) - pen[None, :]
         if approx and k_c < chunk:
@@ -162,7 +168,7 @@ def _flat_pallas_glue(query, decoded, penalty, *, k, distance,
 
 
 def flat_adc_auto(query, decoded, penalty, *, k, distance, approx=True,
-                  impl="xla", scales=None, interpret=False):
+                  impl="xla", scales=None, interpret=False, precision=None):
     """Dispatch between the two flat sweeps.
 
     Measured (v5e, 10k queries x 4.2M slots x 128d, k=10): the XLA sweep
@@ -181,4 +187,4 @@ def flat_adc_auto(query, decoded, penalty, *, k, distance, approx=True,
         return _flat_pallas_glue(query, decoded, penalty, k=k,
                                  distance=distance, interpret=interpret)
     return flat_adc_scan(query, decoded, penalty, k=k, distance=distance,
-                         approx=approx, scales=scales)
+                         approx=approx, scales=scales, precision=precision)
