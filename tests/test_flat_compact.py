@@ -75,7 +75,8 @@ def test_auto_planner_routes_high_n_probe_to_flat(built):
     built and results hit the ADC ceiling."""
     ix, x, ids = built
     ix.scan_mode = "auto"
-    ix.n_probe = 32  # 32 * s_pow2 * 128 >> n_items -> flat plan
+    ix.use_approx_topk = True  # the planner only routes to flat under the
+    ix.n_probe = 32            # measured approx epilogue (index/ivfpq.py)
     assert ix._flat_cache is None
     v, p = ix.search(jnp.asarray(x[:16].T), k=5)
     assert ix._flat_cache is not None

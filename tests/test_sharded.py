@@ -118,3 +118,44 @@ def test_sharded_flat_mode_matches_single_device_flat(rng):
                                rtol=1e-3, atol=1e-3)
     agree = (np.asarray(i1) == np.asarray(i2)).mean()
     assert agree > 0.9, agree
+
+
+def test_sharded_add_after_removal_holes(rng):
+    """Building a searcher from an index with mid-cell removal holes must
+    not overwrite live rows on subsequent sharded adds (regression: the
+    next-free shadow was the occupancy count, which pointed at a live slot
+    when holes existed below it)."""
+    index, x, ids = _filled_index(rng, n=800)
+    index.remove(ids=jnp.asarray(ids[100:200]))  # holes mid-segment
+    searcher = ShardedIVFPQSearcher(index, mesh=get_mesh(8))
+
+    x_new = rng.normal(size=(50, 32)).astype(np.float32)
+    new_ids = np.asarray(searcher.add(jnp.asarray(x_new.T)))
+    assert len(set(new_ids.tolist()) & set(ids.tolist())) == 0
+
+    # every surviving old vector and every new vector is still findable
+    index.n_probe = 16
+    live = np.concatenate([ids[:100], ids[200:]])
+    q = np.concatenate([x[:50], x[250:300], x_new])
+    want = np.concatenate([ids[:50], ids[250:300], new_ids])
+    _, got = searcher.search(jnp.asarray(q.T), k=1)
+    match = (np.asarray(got)[:, 0] == want).mean()
+    assert match > 0.95, match
+
+
+def test_sharded_add_empty_batch(rng):
+    index, x, ids = _filled_index(rng, n=400)
+    searcher = ShardedIVFPQSearcher(index, mesh=get_mesh(8))
+    out = searcher.add(jnp.zeros((32, 0)))
+    assert out.shape == (0,)
+
+
+def test_sharded_rejects_int8_cache(rng):
+    x = rng.normal(size=(400, 32)).astype(np.float32)
+    index = IVFPQIndex(d_vector=32, n_subvectors=8, n_cells=16,
+                       scan_cache_dtype="int8", initial_size=32)
+    index.train(jnp.asarray(x.T))
+    index.add(jnp.asarray(x.T))
+    import pytest
+    with pytest.raises(AssertionError, match="int8"):
+        ShardedIVFPQSearcher(index, mesh=get_mesh(8))

@@ -126,16 +126,14 @@ class MultiKMeans(StateModule):
         return labels
 
     def topk(self, query, k=128):
-        """Per-problem top-k similarity (reference MultiKMeans.topk)."""
+        """Per-problem top-k similarity (reference MultiKMeans.topk) — one
+        batched program over all m subproblems."""
         assert self.is_trained
         x = self._to_internal(query)
         if self.distance == "cosine":
             x = util.normalize(x)
-        outs = [topk_sim(x[i], self._centroids[i], k, self.distance)
-                for i in range(x.shape[0])]
-        vals = jnp.stack([v for v, _ in outs])
-        idx = jnp.stack([i for _, i in outs])
-        return vals, idx
+        from ..ops.max_sim import batched_topk_sim
+        return batched_topk_sim(x, self._centroids, k, self.distance)
 
 
 class KMeans(MultiKMeans):

@@ -122,7 +122,10 @@ def lloyd_fit(data, key, *, n_clusters, max_iter, tol, distance, init_mode,
 def fit_redo(data, key, *, n_clusters, n_redo, max_iter, tol, distance,
              init_mode, init_centroids=None):
     """n_redo restarts, keeping the lowest-inertia run per problem
-    (reference clustering/KMeans.py:399-438)."""
+    (reference clustering/KMeans.py:399-438). Explicit init_centroids make
+    Lloyd deterministic, so restarts would be bit-identical — run once."""
+    if init_centroids is not None:
+        n_redo = 1
     best = None
     for r in range(max(n_redo, 1)):
         out = lloyd_fit(

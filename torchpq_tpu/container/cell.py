@@ -113,7 +113,7 @@ def _cell_remove(address2id, id2address, is_empty, cell_size, cell_start,
         num_segments=n_cells)
     cell_size = cell_size - counts
     n_removed = jnp.sum(live.astype(jnp.int32))
-    return address2id, id2address, is_empty, cell_size, n_removed
+    return address2id, id2address, is_empty, cell_size, n_removed, counts
 
 
 @functools.partial(jax.jit, static_argnums=(4, 5))
@@ -401,31 +401,25 @@ class CellContainer(BaseContainer):
         r = len(address)
         if r == 0:
             return 0
-        # host shadow of per-cell removal counts (only live slots count)
-        emp_np = np.asarray(self._is_empty)
-        live = ~emp_np[address]
-        address = address[live]
-        r = len(address)
-        if r == 0:
-            return 0
-        cell_of = np.searchsorted(
-            np.asarray(self._cell_start), address, side="right") - 1
-        self._cell_size_np -= np.bincount(cell_of, minlength=self.n_cells)
-
+        # liveness filtering and per-cell counts happen on device
+        # (_cell_remove); the host reads back only the [n_cells] counts and
+        # the removed total — never the O(capacity) is_empty bitmap
         b = util.next_pow2(r)
         addrs = jnp.full((b,), 0, jnp.int32).at[:r].set(
             jnp.asarray(address, dtype=jnp.int32))
         valid = jnp.arange(b) < r
-        a2i, i2a, emp, csz, n_removed = _cell_remove(
+        a2i, i2a, emp, csz, n_removed, counts = _cell_remove(
             self._address2id, self._id2address, self._is_empty,
             self._cell_size, self._cell_start, addrs, valid)
         self.register_state("_address2id", a2i)
         self.register_state("_id2address", i2a)
         self.register_state("_is_empty", emp)
         self.register_state("_cell_size", csz)
-        self._n_items -= r
+        self._cell_size_np -= np.asarray(counts).astype(np.int64)
+        removed = int(n_removed)
+        self._n_items -= removed
         self._mutations += 1
-        return r
+        return removed
 
     def empty(self):
         """Drop all items, keep layout (reference CellContainer.empty)."""

@@ -133,6 +133,7 @@ class FlatContainer(BaseContainer):
             "_storage",
             self._storage.at[tgt].set(jnp.asarray(data).T.astype(self.dtype),
                                       mode="drop"))
+        self._mutations += 1
 
     def get_data_by_id(self, ids):
         return self.get_data_by_address(self.get_address_by_id(ids))
@@ -151,6 +152,7 @@ class FlatContainer(BaseContainer):
         self.register_state("_address2id", jnp.concatenate(
             [self._address2id, jnp.full((pad,), -1, self._address2id.dtype)]))
         self._capacity = new_cap
+        self._mutations += 1
         self.print_message(f"expanded to capacity {new_cap}", 1)
 
     def expand(self):
@@ -190,6 +192,7 @@ class FlatContainer(BaseContainer):
                 self.register_state(
                     "_aux_" + name, _aux_scatter(self.aux(name), pad, tgt))
         self._n_items += n
+        self._mutations += 1
         if return_address:
             return jnp.asarray(ids_np), addr[:n]
         return jnp.asarray(ids_np)
@@ -224,6 +227,7 @@ class FlatContainer(BaseContainer):
                 arr.at[jnp.where(do_move, dst, self._capacity)].set(
                     moved, mode="drop"))
         self._n_items -= r
+        self._mutations += 1
         return r
 
     def empty(self):
@@ -234,3 +238,4 @@ class FlatContainer(BaseContainer):
                             jnp.full((self._id_capacity,), -1, jnp.int32))
         self._n_items = 0
         self._max_id = 0
+        self._mutations += 1

@@ -135,6 +135,43 @@ def _batched_max_sim_jit(data, centroids, *, distance, chunk, precision):
     return maxs, labels
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("k_top", "distance", "chunk",
+                                    "precision"))
+def _batched_topk_sim_jit(data, centroids, *, k_top, distance, chunk,
+                          precision):
+    m, n, d = data.shape
+
+    def one(b):
+        sim = _scores_batched(b, centroids, distance, precision)
+        return jax.lax.top_k(sim, k_top)
+
+    if n <= chunk:
+        return one(data)
+    n_pad = util.round_up(n, chunk)
+    data_pad = jnp.pad(data, ((0, 0), (0, n_pad - n), (0, 0)))
+    blocks = data_pad.reshape(m, -1, chunk, d).swapaxes(0, 1)
+    vals, idx = jax.lax.map(one, blocks)  # [nb, m, c, k_top]
+    vals = vals.swapaxes(0, 1).reshape(m, -1, k_top)[:, :n]
+    idx = idx.swapaxes(0, 1).reshape(m, -1, k_top)[:, :n]
+    return vals, idx
+
+
+def batched_topk_sim(data, centroids, k_top, distance, precision=None):
+    """Per-problem top-k over centroids for MultiKMeans.topk — one jitted
+    program over all m subproblems instead of m sequential topk_sim calls
+    (each its own trace + dispatch). data: [m, n, d], centroids: [m, k, d]
+    -> (vals [m, n, k_top], idx [m, n, k_top])."""
+    distance = canonical_distance(distance)
+    m, n, d = data.shape
+    k = centroids.shape[1]
+    k_top = min(int(k_top), k)
+    chunk = _chunk_rows(config.MAX_SIM_CHUNK_ELEMS, max(m * k, 1))
+    return _batched_topk_sim_jit(data, centroids, k_top=k_top,
+                                 distance=distance, chunk=chunk,
+                                 precision=precision)
+
+
 def batched_max_sim(data, centroids, distance, precision=None):
     """Batched (multi-problem) fused assignment for MultiKMeans.
 

@@ -25,6 +25,7 @@ import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 from jax import shard_map
 
+from .. import config
 from .. import util
 from ..metric import canonical_distance
 from ..ops import adc
@@ -34,10 +35,11 @@ from .mesh import get_mesh
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "axis", "k", "n_probe", "use_smart", "distance",
-                     "s_max", "c_loc", "mode", "p_tile", "group"))
+                     "s_max", "c_loc", "mode", "p_tile", "group", "precision"))
 def _sharded_search(mesh, decoded, norms, is_empty, cell_start, cell_capacity,
                     ids_sh, codebook, q, temperature, *, axis, k, n_probe,
-                    use_smart, distance, s_max, c_loc, mode, p_tile, group=1):
+                    use_smart, distance, s_max, c_loc, mode, p_tile, group=1,
+                    precision=None):
     d_count = mesh.devices.size
 
     def local(dec, nrm, emp, cstart, ccap, ids, codebook, q, temperature):
@@ -54,23 +56,25 @@ def _sharded_search(mesh, decoded, norms, is_empty, cell_start, cell_capacity,
             penalty = jnp.where(
                 emp, big, nrm if distance == "euclidean" else 0.0)
             vals, addr = flat_adc_scan(q, dec, penalty, k=k,
-                                       distance=distance, approx=True)
+                                       distance=distance, approx=True,
+                                       precision=precision)
         else:
             from ..index.ivfpq import _coarse_probe
             _, cells, mask = _coarse_probe(
                 q, codebook, temperature, n_probe=n_probe,
-                use_smart=use_smart, precision=None)
+                use_smart=use_smart, precision=precision)
             local_mask = mask & (cells % d_count == my)
             local_cells = jnp.minimum(cells // d_count, c_loc - 1)
             if mode == "cell_major":
                 vals, addr = adc.scan_cell_major(
                     q, local_cells, local_mask, dec, nrm, emp, cstart, ccap,
                     k=k, distance=distance, s_max=s_max, n_cells=c_loc,
-                    p_tile=p_tile, group=group)
+                    p_tile=p_tile, group=group, precision=precision)
             else:
                 vals, addr = adc.scan_query_major(
                     q, local_cells, local_mask, dec, nrm, emp, cstart, ccap,
-                    k=k, distance=distance, s_max=s_max)
+                    k=k, distance=distance, s_max=s_max,
+                    precision=precision)
         lids = jnp.where(addr >= 0, ids[jnp.maximum(addr, 0)], -1)
         # merge across shards over ICI
         gv = jax.lax.all_gather(vals, axis)   # [D, nq, k]
@@ -144,6 +148,10 @@ def _sharded_add(mesh, decoded, norms, is_empty, ids_sh, rows, row_norms,
 class ShardedIVFPQSearcher:
     def __init__(self, index, mesh=None, scan_mode="cell_major", p_tile=128,
                  scan_group=1):
+        assert not getattr(index, "_int8_cache", False), \
+            "ShardedIVFPQSearcher does not support int8 scan caches yet " \
+            "(the per-slot dequant scales are not sharded) — use a " \
+            "bfloat16/float32 cache"
         self.index = index
         self.mesh = mesh if mesh is not None else get_mesh()
         self.axis = self.mesh.axis_names[0]
@@ -208,8 +216,9 @@ class ShardedIVFPQSearcher:
         self.codebook = jax.device_put(
             idx.vq_codec.kmeans._centroids[0], repl)
         # host shadows for sharded add routing: next free slot per local
-        # cell = occupied count (holes from prior removals are not reused by
-        # the sharded path; they stay masked empty)
+        # cell = one past the LAST live slot (holes from prior removals are
+        # not reused by the sharded path; they stay masked empty — an
+        # occupancy *count* would point at a live slot and overwrite it)
         occ = ~emp_sh
         self._lstart_np = lstart
         self._lcap_np = lcap
@@ -217,7 +226,9 @@ class ShardedIVFPQSearcher:
         for s in range(d_count):
             for j in range(c_loc):
                 a, w = lstart[s, j], lcap[s, j]
-                self._next_free[s, j] = occ[s, a:a + w].sum()
+                live = np.flatnonzero(occ[s, a:a + w])
+                self._next_free[s, j] = int(live[-1]) + 1 if len(live) else 0
+        self._max_id = int(a2i.max()) + 1 if (a2i >= 0).any() else 0
 
     def _grow_local(self, need):
         """Re-layout the sharded stores with grown capacities for the local
@@ -273,7 +284,9 @@ class ShardedIVFPQSearcher:
         x = jnp.asarray(x).astype(jnp.float32)
         if self.distance == "cosine":
             x = util.normalize(x, axis=0)
-        n = x.shape[1]
+        n = int(x.shape[1])
+        if n == 0:
+            return jnp.zeros((0,), jnp.int64)
         cells = np.asarray(idx.vq_codec.encode(x)).astype(np.int64)
         if idx.pq_use_residual:
             recon = idx.vq_codec.decode(cells).T
@@ -284,10 +297,13 @@ class ShardedIVFPQSearcher:
             decoded_rows = idx.pq_codec.decode_nd(codes_nm)
         norms_rows = jnp.sum(jnp.square(decoded_rows), axis=-1)
         if ids is None:
-            base_id = int(np.asarray(self.ids).max()) + 1
-            ids = np.arange(base_id, base_id + n, dtype=np.int64)
+            # host _max_id shadow: the sharded id store is O(capacity) and
+            # device-resident — gathering it per add() would put a full
+            # D2H sync on the ingest critical path
+            ids = np.arange(self._max_id, self._max_id + n, dtype=np.int64)
         else:
             ids = np.asarray(ids, dtype=np.int64)
+        self._max_id = max(self._max_id, int(ids.max()) + 1)
 
         # host routing: slot per item within its (shard, local cell)
         shard_of = cells % d_count
@@ -327,13 +343,14 @@ class ShardedIVFPQSearcher:
 
     def _flat_compacted(self):
         """Compacted per-shard (decoded, norms, is_empty, ids) for flat
-        mode; rebuilt lazily after adds/grows. `_next_free` sums are the
-        exact per-shard live counts (the sharded path has no removal)."""
+        mode; rebuilt lazily after adds/grows. `_next_free` sums bound the
+        per-shard live counts from above (equality when the source index
+        had no removal holes)."""
         if self._flat_sh is not None:
             return self._flat_sh
         n_live = int(self._next_free.sum(axis=1).max())
         unit = 131072 if n_live > 131072 else 2048
-        n_pad = min(-(-max(n_live, 1) // unit) * unit,
+        n_pad = min(util.round_up(max(n_live, 1), unit),
                     int(self.decoded.shape[1]))
         self._flat_sh = _sharded_compact(
             self.mesh, self.decoded, self.norms, self.is_empty, self.ids,
@@ -362,7 +379,9 @@ class ShardedIVFPQSearcher:
             axis=self.axis, k=int(k), n_probe=n_probe,
             use_smart=idx.use_smart_probing, distance=self.distance,
             s_max=util.next_pow2(self.s_max), c_loc=self.cells_per_shard,
-            mode=self.scan_mode, p_tile=self.p_tile, group=self.scan_group)
+            mode=self.scan_mode, p_tile=self.p_tile, group=self.scan_group,
+            precision=(config.SEARCH_PRECISION if idx.use_tensor_core
+                       else jax.lax.Precision.HIGHEST))
 
 
 def data_parallel_lloyd_step(mesh, data_sharded, centroids, distance,
