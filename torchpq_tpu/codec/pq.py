@@ -57,12 +57,14 @@ class PQCodec(BaseCodec):
         return self.kmeans._centroids
 
     # -- reference-layout API ([d, n] tensors) --
-    def train(self, x):
-        """x: [d_vector, n] (reference PQCodec.py:48-60)."""
+    def train(self, x, centroids=None):
+        """x: [d_vector, n] (reference PQCodec.py:48-60). `centroids`
+        ([m, d_subvector, n_clusters]) warm-starts the codebooks — used by
+        OPQ's alternation (transform/opq.py)."""
         x = jnp.asarray(x)
         assert x.shape[0] == self.d_vector
         sub = x.reshape(self.n_subvectors, self.d_subvector, -1)
-        self.kmeans.fit(sub)
+        self.kmeans.fit(sub, centroids=centroids)
         self._set_trained()
 
     def encode(self, x):

@@ -41,17 +41,9 @@ def _device_bincount(cells, *, n_cells):
 @jax.jit
 def _compute_ioa(cells, valid, n_cells_arr):
     """Rank of each batch item within its own cell — the reference's
-    get_ioa kernel (get_ioa.cu) as a sort + run-start subtraction."""
-    b = cells.shape[0]
-    n_cells = n_cells_arr.shape[0]
-    key = jnp.where(valid, cells, n_cells)
-    order = jnp.argsort(key)
-    sorted_key = key[order]
-    first = jnp.searchsorted(sorted_key, jnp.arange(n_cells), side="left")
-    pos = jnp.arange(b, dtype=jnp.int32)
-    safe = jnp.minimum(sorted_key, n_cells - 1)
-    rank_sorted = pos - first[safe].astype(jnp.int32)
-    return jnp.zeros((b,), jnp.int32).at[order].set(rank_sorted)
+    get_ioa kernel (get_ioa.cu); shared implementation in ops/spill.py."""
+    from ..ops.spill import rank_in_group
+    return rank_in_group(cells, valid, n_cells_arr.shape[0])
 
 
 @jax.jit

@@ -30,6 +30,7 @@ class IVFPQTopk:
         pass through to the cell-major scan."""
         nq = query.shape[0]
         mode = mode or self.mode
+        assert mode in ("auto", "query_major", "cell_major", "flat"), mode
         approx = self.approx if approx is None else approx
         if mode in ("auto", "flat"):
             mode = "query_major" if nq < self.batch_threshold else "cell_major"

@@ -88,7 +88,14 @@ class IVFPQ:
         self._index.n_probe = v
 
     def __getattr__(self, name):
-        return getattr(self._index, name)
+        # guard: during pickle/deepcopy (and before __init__ finishes)
+        # '_index' itself may be missing; re-entering getattr(self._index)
+        # would recurse forever
+        try:
+            index = self.__dict__["_index"]
+        except KeyError:
+            raise AttributeError(name) from None
+        return getattr(index, name)
 
 
 class IVFPQR(IVFPQ):

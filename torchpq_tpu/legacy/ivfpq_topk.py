@@ -10,6 +10,7 @@ behaviour for callers that used the raw lists.
 import jax
 import jax.numpy as jnp
 
+from .. import util
 from ..ops import adc
 
 
@@ -26,6 +27,8 @@ class IVFPQTopk:
         query: [nq, d] rows; codebook_internal: [m, 256, dsub];
         codes: [n, m] uint8 -> (values [nq, k], indices [nq, k]).
         """
+        if distance == "cosine":  # build_adc_table precondition
+            query = util.normalize(jnp.asarray(query), axis=-1)
         lut = adc.build_adc_table(query, codebook_internal, distance)
         scores = adc.adc_lookup_scores(lut, codes)
         return jax.lax.top_k(scores, min(k, scores.shape[-1]))
@@ -33,5 +36,7 @@ class IVFPQTopk:
     @staticmethod
     def scores(query, codebook_internal, codes, distance="euclidean"):
         """Full similarity list, like the v1 compute_product path."""
+        if distance == "cosine":
+            query = util.normalize(jnp.asarray(query), axis=-1)
         lut = adc.build_adc_table(query, codebook_internal, distance)
         return adc.adc_lookup_scores(lut, codes)

@@ -79,6 +79,11 @@ class StateModule:
 
     def load(self, path):
         import ml_dtypes
+        import os
+        if not os.path.exists(path) and os.path.exists(str(path) + ".npz"):
+            # np.savez appends .npz to extension-less save paths; accept
+            # the same string the caller saved with
+            path = str(path) + ".npz"
         with np.load(path, allow_pickle=False) as f:
             state = {}
             for k in f.files:

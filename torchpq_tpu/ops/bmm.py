@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from .. import config
+from .. import util
 from ..metric import canonical_distance
 
 
@@ -33,7 +34,23 @@ def bmm(a, b, distance="inner", precision=None):
     distance = canonical_distance(distance)
     precision = precision or config.SEARCH_PRECISION
     if distance == "manhattan":
-        return -jnp.sum(jnp.abs(a[:, :, None, :] - b[:, None, :, :]), axis=-1)
+        # VPU path: chunk the m axis so the [l, chunk, n, d] broadcast
+        # difference stays within the configured score-tile budget
+        l, m, d = a.shape
+        n = b.shape[1]
+
+        def one(blk):
+            return -jnp.sum(
+                jnp.abs(blk[:, :, None, :] - b[:, None, :, :]), axis=-1)
+
+        chunk = max(8, min(m, config.MAX_SIM_CHUNK_ELEMS // max(l * n, 1)))
+        if m <= chunk:
+            return one(a)
+        m_pad = util.round_up(m, chunk)
+        a_pad = jnp.pad(a, ((0, 0), (0, m_pad - m), (0, 0)))
+        blocks = a_pad.reshape(l, -1, chunk, d).swapaxes(0, 1)
+        out = jax.lax.map(one, blocks)  # [nb, l, chunk, n]
+        return out.swapaxes(0, 1).reshape(l, m_pad, n)[:, :m]
     if distance == "cosine":
         a = a / jnp.maximum(jnp.linalg.norm(a, axis=-1, keepdims=True), 1e-12)
         b = b / jnp.maximum(jnp.linalg.norm(b, axis=-1, keepdims=True), 1e-12)

@@ -35,10 +35,11 @@ import jax
 import jax.numpy as jnp
 
 
-def _rank_in_cell(cells, active, n_cells):
-    """Rank of each active item among active items bidding for the same
-    cell (stable by batch position) — the container's ioa, batched here per
-    spill round."""
+def rank_in_group(cells, active, n_cells):
+    """Rank of each active item among active items in the same cell, stable
+    by batch position — the reference's get_ioa (get_ioa.cu) as one sort +
+    searchsorted run-start subtraction. Shared by CellContainer's add
+    pipeline (container/cell.py:_compute_ioa) and the spill rounds here."""
     b = cells.shape[0]
     key = jnp.where(active, cells, n_cells)
     order = jnp.argsort(key)
@@ -62,7 +63,7 @@ def spill_assign_device(top, cell_size, *, cap, n_cells):
     undecided = jnp.ones((n,), bool)
     for r in range(l):
         cand = top[:, r].astype(jnp.int32)
-        rank = _rank_in_cell(cand, undecided, n_cells)
+        rank = rank_in_group(cand, undecided, n_cells)
         accept = undecided & (occ[cand] + rank < cap)
         chosen = jnp.where(accept, cand, chosen)
         occ = occ.at[jnp.where(accept, cand, n_cells)].add(

@@ -41,9 +41,10 @@ class OPQ(BaseCodec):
         x = jnp.asarray(x).astype(jnp.float32)
         assert x.shape[0] == self.d_vector
         r = self._rotation
-        for it in range(self.n_iter):
+        warm = None  # previous round's codebooks (non-parametric OPQ,
+        for it in range(self.n_iter):  # Ge et al.: refine, don't restart)
             xr = r @ x
-            self.pq.train(xr)
+            self.pq.train(xr, centroids=warm)
             self.pq._set_trained(True)
             recon = self.pq.decode(self.pq.encode(xr))  # Y: [d, n]
             # Procrustes: R = U V^T from SVD(Y X^T)
@@ -52,11 +53,11 @@ class OPQ(BaseCodec):
             r = u @ vt
             err = float(jnp.mean(jnp.square(r @ x - recon)))
             self.print_message(f"OPQ iter {it}: distortion {err:.6g}", 1)
-            # retrain codebooks fresh each round on the new rotation
+            warm = self.pq.codebook
             self.pq._set_trained(False)
         self._rotation = r
         self.register_state("_rotation", r)
-        self.pq.train(r @ x)
+        self.pq.train(r @ x, centroids=warm)
         self._set_trained(True)
 
     def rotate(self, x):

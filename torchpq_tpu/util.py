@@ -92,8 +92,15 @@ class Timer:
     def __init__(self):
         self.t = time.perf_counter()
 
-    def tick(self, label=""):
-        jax.effects_barrier()
+    def tick(self, label="", sync=None):
+        """dt since the last tick. Pass the jax outputs being timed as
+        `sync`: effects_barrier alone does not wait for pending *pure*
+        computations, so without it a tick right after a jitted call
+        measures dispatch time (the 'timings read ~0' trap, CLAUDE.md)."""
+        if sync is not None:
+            block_until_ready(sync)
+        else:
+            jax.effects_barrier()
         now = time.perf_counter()
         dt = now - self.t
         self.t = now
