@@ -265,7 +265,8 @@ def main():
 
     qj = jnp.asarray(query.T)
     sweep = {}
-    for n_probe in (1, 8, 32, 128, "flat"):
+    probes = sorted({1, 8, 32, 128, args.n_probe})
+    for n_probe in probes + ["flat"]:
         if n_probe == "flat":
             # exhaustive MXU sweep of the decoded cache (ops/flat_adc.py):
             # the max-recall operating point (full ADC ceiling, no probing)
@@ -321,6 +322,7 @@ def main():
                             initial_size=max(16,
                                              int(n_base // n_cells
                                                  * init_mult)))
+        index2.use_approx_topk = True  # same config as the cold build
         t0 = time.perf_counter()
         index2.train(jnp.asarray(base[:train_n]).T)
         jax.effects_barrier()
@@ -335,7 +337,8 @@ def main():
             cur, j = nxt, i + add_chunk
             if j < n_base:
                 nxt = send(base[j:j + add_chunk])
-            index2.add(cur.T)
+            last_ids = index2.add(cur.T)
+        jax.block_until_ready(last_ids)
         jax.effects_barrier()
         add_warm_s = time.perf_counter() - t0
         print(f"[bench] warm train: {train_warm_s:.2f}s  warm add: "
@@ -388,6 +391,10 @@ def main():
     }
     if latency_ms:
         result["extras"]["latency_ms"] = latency_ms
+    # --state runs have no build timings (NaN) — emit strict JSON (null)
+    result["extras"] = {
+        k: (None if isinstance(v, float) and v != v else v)
+        for k, v in result["extras"].items()}
     print(json.dumps(result))
 
 

@@ -33,9 +33,14 @@ def _flat_search(query, storage, address2id, n_items, *, k, distance,
     else:
         s_sq = None
 
+    # add() stores unit rows and the query is pre-normalized for cosine,
+    # so scoring reduces to the inner product — avoids re-normalizing the
+    # whole [cap, d] cache inside every chunk
+    eff_distance = "inner" if distance == "cosine" else distance
+
     def score(q):  # [c, d] -> [c, cap]
         from ..metric import similarity
-        sims = similarity(q, storage.astype(jnp.float32), distance,
+        sims = similarity(q, storage.astype(jnp.float32), eff_distance,
                           precision=precision, b_sq=s_sq)
         return jnp.where(col_valid[None, :], sims, -jnp.inf)
 

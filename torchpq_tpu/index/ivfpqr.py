@@ -132,7 +132,7 @@ class IVFPQRIndex(IVFPQIndex):
         if self.distance == "cosine":
             x = util.normalize(x, axis=0)
         x_nd = x.T
-        cells = self.vq_codec.encode(x)
+        cells = self._assign_cells(x)  # honors spill_cells/spill_capacity
         if self.pq_use_residual:
             coarse = self.vq_codec.decode(cells).T
             codes_nm = self.pq_codec.encode_nd(x_nd - coarse)

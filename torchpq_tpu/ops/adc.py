@@ -377,10 +377,12 @@ def scan_cell_major(query, cells, probe_mask, decoded, norms, is_empty,
     # query; both impls skip it in the hot loop and the final merge applies
     # it to the k winners.
 
+    from .pallas_scan import PALLAS_QUERY_VMEM_BYTES
     use_pallas = (
         impl == "pallas" and distance != "manhattan" and k_pair <= 16
         and not int8_cache
-        and nq * d * 4 <= 6 * 2 ** 20)  # f32 query table must fit VMEM
+        # f32 query table must fit the kernel's VMEM budget
+        and nq * d * 4 <= PALLAS_QUERY_VMEM_BYTES)
 
     # pack32: one int32 per candidate (truncated sortable value | slot)
     # instead of (key, addr) pairs — halves the unsort-gather payload. The

@@ -146,6 +146,8 @@ def flat_scan_pallas(query, decoded, penalty, *, r_keep=16, w=2048,
     nq, d = query.shape
     cap = decoded.shape[0]
     assert nq % q_tile == 0 and cap >= w and cap % w == 0
+    assert w % 32 == 0, "the bucket tournament covers exactly 32*(w//32) " \
+        "slots per window — a non-multiple w would silently drop the tail"
     nb, bucket = 32, w // 32
     n_windows = -(-cap // w)
     big = float(jnp.finfo(jnp.float32).max / 4)

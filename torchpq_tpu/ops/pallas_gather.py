@@ -3,7 +3,10 @@
 XLA's generic gather on TPU runs at ~1 GB/s; for the scan's query-tile
 gather (rows from a [nq, d] table that easily fits VMEM) a Pallas kernel
 keeps the whole table on-chip and copies rows with dynamic sublane reads.
-Used by ops.adc.scan_cell_major when the query table fits the VMEM budget.
+STATUS: kept as a measured experiment (like ops/pallas_flat.py), not wired
+into production — the cell-major scan's Pallas path gathers query rows
+inside its own kernel (ops/pallas_scan.py) and the XLA path's plain
+row-gather measured fast enough; unit tests keep this kernel honest.
 
 Reference counterpart: none — the reference's CUDA kernels read queries
 directly from global memory per thread-block (ivfpq_topk.cu); gathers are

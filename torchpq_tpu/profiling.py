@@ -42,10 +42,18 @@ class PhaseTimer:
         self._name = None
 
     @contextlib.contextmanager
-    def phase(self, name):
+    def phase(self, name, sync=None):
+        """`sync`: a zero-arg callable returning the phase's jax outputs —
+        they are blocked on at exit. effects_barrier alone does not wait
+        for pending *pure* computations (the 'timings read ~0' trap,
+        util.Timer.tick), so phases that end with a jitted call should
+        pass one, e.g. `with t.phase('scan', lambda: vals): ...`."""
         jax.effects_barrier()
         t0 = time.perf_counter()
         yield
+        if sync is not None:
+            from .util import block_until_ready
+            block_until_ready(sync())
         jax.effects_barrier()
         self.phases[name] = self.phases.get(name, 0.0) + (
             time.perf_counter() - t0)
