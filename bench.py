@@ -184,6 +184,10 @@ def main():
                          "cache, so train+add cost ~9 min per fresh run)")
     ap.add_argument("--skip-build-metrics", action="store_true",
                     help="with --state: skip the cold/warm build timing")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (tooling validation; the "
+                         "env var is frozen by sitecustomize, so this must "
+                         "go through jax.config)")
     ap.add_argument("--latency", action="store_true",
                     help="also measure small-batch search latency (batch "
                          "1/16/256 — the query_major path; the throughput "
@@ -193,6 +197,8 @@ def main():
                          "decoded scan cache is bf16 anyway; PQ encode on "
                          "bf16-rounded input moves recall by <0.1%%)")
     args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     from torchpq_tpu.index import IVFPQIndex
 
