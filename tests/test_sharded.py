@@ -150,12 +150,35 @@ def test_sharded_add_empty_batch(rng):
     assert out.shape == (0,)
 
 
-def test_sharded_rejects_int8_cache(rng):
-    x = rng.normal(size=(400, 32)).astype(np.float32)
+def test_sharded_int8_cache_matches_single_device(rng):
+    """int8 caches shard with their per-slot dequant scales; results match
+    the single-device int8 scan."""
+    x = rng.normal(size=(1200, 32)).astype(np.float32)
     index = IVFPQIndex(d_vector=32, n_subvectors=8, n_cells=16,
-                       scan_cache_dtype="int8", initial_size=32)
+                       scan_cache_dtype="int8", initial_size=128)
     index.train(jnp.asarray(x.T))
-    index.add(jnp.asarray(x.T))
-    import pytest
-    with pytest.raises(AssertionError, match="int8"):
-        ShardedIVFPQSearcher(index, mesh=get_mesh(8))
+    ids = np.asarray(index.add(jnp.asarray(x.T)))
+    index.n_probe = 8
+    index.use_smart_probing = False
+    index.scan_mode = "cell_major"
+    q = x[:32]
+    v1, i1 = index.search(jnp.asarray(q.T), k=5)
+    searcher = ShardedIVFPQSearcher(index, mesh=get_mesh(8))
+    v2, i2 = searcher.search(jnp.asarray(q.T), k=5)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2),
+                               rtol=1e-3, atol=1e-3)
+    agree = (np.asarray(i1) == np.asarray(i2)).mean()
+    assert agree > 0.9, agree
+
+    # sharded adds quantize new rows and write their scales
+    x_new = rng.normal(size=(40, 32)).astype(np.float32)
+    new_ids = np.asarray(searcher.add(jnp.asarray(x_new.T)))
+    _, got = searcher.search(jnp.asarray(x_new.T), k=1)
+    match = (np.asarray(got)[:, 0] == new_ids).mean()
+    assert match > 0.9, match
+
+    # flat mode compacts the scales in lockstep
+    searcher.scan_mode = "flat"
+    _, got_f = searcher.search(jnp.asarray(x_new.T), k=1)
+    match_f = (np.asarray(got_f)[:, 0] == new_ids).mean()
+    assert match_f > 0.9, match_f

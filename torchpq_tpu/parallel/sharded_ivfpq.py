@@ -37,14 +37,16 @@ from .mesh import get_mesh
     static_argnames=("mesh", "axis", "k", "n_probe", "use_smart", "distance",
                      "s_max", "c_loc", "mode", "p_tile", "group", "precision"))
 def _sharded_search(mesh, decoded, norms, is_empty, cell_start, cell_capacity,
-                    ids_sh, codebook, q, temperature, *, axis, k, n_probe,
-                    use_smart, distance, s_max, c_loc, mode, p_tile, group=1,
-                    precision=None):
+                    ids_sh, scales_sh, codebook, q, temperature, *, axis, k,
+                    n_probe, use_smart, distance, s_max, c_loc, mode, p_tile,
+                    group=1, precision=None):
     d_count = mesh.devices.size
+    int8 = decoded.dtype == jnp.int8  # scales_sh is a [D, 1] dummy otherwise
 
-    def local(dec, nrm, emp, cstart, ccap, ids, codebook, q, temperature):
+    def local(dec, nrm, emp, cstart, ccap, ids, sc, codebook, q, temperature):
         dec, nrm, emp = dec[0], nrm[0], emp[0]
         cstart, ccap, ids = cstart[0], ccap[0], ids[0]
+        sc = sc[0] if int8 else None
         my = jax.lax.axis_index(axis)
 
         if mode == "flat":
@@ -57,7 +59,7 @@ def _sharded_search(mesh, decoded, norms, is_empty, cell_start, cell_capacity,
                 emp, big, nrm if distance == "euclidean" else 0.0)
             vals, addr = flat_adc_scan(q, dec, penalty, k=k,
                                        distance=distance, approx=True,
-                                       precision=precision)
+                                       precision=precision, scales=sc)
         else:
             from ..index.ivfpq import _coarse_probe
             _, cells, mask = _coarse_probe(
@@ -69,7 +71,8 @@ def _sharded_search(mesh, decoded, norms, is_empty, cell_start, cell_capacity,
                 vals, addr = adc.scan_cell_major(
                     q, local_cells, local_mask, dec, nrm, emp, cstart, ccap,
                     k=k, distance=distance, s_max=s_max, n_cells=c_loc,
-                    p_tile=p_tile, group=group, precision=precision)
+                    p_tile=p_tile, group=group, precision=precision,
+                    scales=sc)
             else:
                 vals, addr = adc.scan_query_major(
                     q, local_cells, local_mask, dec, nrm, emp, cstart, ccap,
@@ -89,69 +92,80 @@ def _sharded_search(mesh, decoded, norms, is_empty, cell_start, cell_capacity,
     fn = shard_map(
         local, mesh=mesh,
         in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),
-                  P(), P(), P()),
+                  P(axis), P(), P(), P()),
         out_specs=(P(), P()),
         check_vma=False)
     return fn(decoded, norms, is_empty, cell_start, cell_capacity, ids_sh,
-              codebook, q, temperature)
+              scales_sh, codebook, q, temperature)
 
 
 @functools.partial(jax.jit, static_argnames=("mesh", "axis", "n_pad"))
-def _sharded_compact(mesh, decoded, norms, is_empty, ids_sh, *, axis, n_pad):
+def _sharded_compact(mesh, decoded, norms, is_empty, ids_sh, scales_sh, *,
+                     axis, n_pad):
     """Per-shard live-row compaction for flat mode (same trick as
     index/ivfpq.py:_compact_flat_cache): each shard squeezes its dead slots
     out so the exhaustive sweep pays only for live rows. Ids are translated
     here, so the search path needs no address map."""
-    def local(dec, nrm, emp, ids):
+    int8 = decoded.dtype == jnp.int8
+
+    def local(dec, nrm, emp, ids, sc):
         dec, nrm, emp, ids = dec[0], nrm[0], emp[0], ids[0]
         amap = jnp.nonzero(~emp, size=n_pad, fill_value=-1)[0] \
             .astype(jnp.int32)
         valid = amap >= 0
         safe = jnp.maximum(amap, 0)
+        sc_c = sc[0][safe] if int8 else sc[0]
         return (dec[safe][None], jnp.where(valid, nrm[safe], 0.0)[None],
-                (~valid)[None], jnp.where(valid, ids[safe], -1)[None])
+                (~valid)[None], jnp.where(valid, ids[safe], -1)[None],
+                sc_c[None])
 
     fn = shard_map(local, mesh=mesh,
-                   in_specs=(P(axis), P(axis), P(axis), P(axis)),
-                   out_specs=(P(axis), P(axis), P(axis), P(axis)),
+                   in_specs=(P(axis),) * 5,
+                   out_specs=(P(axis),) * 5,
                    check_vma=False)
-    return fn(decoded, norms, is_empty, ids_sh)
+    return fn(decoded, norms, is_empty, ids_sh, scales_sh)
 
 
 @functools.partial(jax.jit, static_argnames=("mesh", "axis"),
-                   donate_argnums=(1, 2, 3, 4))
-def _sharded_add(mesh, decoded, norms, is_empty, ids_sh, rows, row_norms,
-                 shard_of, slots, new_ids, *, axis):
+                   donate_argnums=(1, 2, 3, 4, 5))
+def _sharded_add(mesh, decoded, norms, is_empty, ids_sh, scales_sh, rows,
+                 row_norms, row_scales, shard_of, slots, new_ids, *, axis):
     """Scatter a replicated batch into the sharded stores: each shard takes
-    the items whose shard_of matches its mesh index."""
+    the items whose shard_of matches its mesh index. `rows` arrive already
+    in the cache dtype (quantized by the caller for int8); scales_sh /
+    row_scales are [D, 1] / [n] dummies on float caches."""
     cap_sh = decoded.shape[1]
+    int8 = decoded.dtype == jnp.int8
 
-    def local(dec, nrm, emp, ids, rows, row_norms, shard_of, slots, new_ids):
+    def local(dec, nrm, emp, ids, sc, rows, row_norms, row_scales, shard_of,
+              slots, new_ids):
         my = jax.lax.axis_index(axis)
         tgt = jnp.where(shard_of == my, slots, cap_sh)  # foreign -> dropped
         dec = dec.at[0, tgt].set(rows.astype(dec.dtype), mode="drop")
         nrm = nrm.at[0, tgt].set(row_norms, mode="drop")
         emp = emp.at[0, tgt].set(False, mode="drop")
         ids = ids.at[0, tgt].set(new_ids, mode="drop")
-        return dec, nrm, emp, ids
+        if int8:
+            sc = sc.at[0, tgt].set(row_scales, mode="drop")
+        return dec, nrm, emp, ids, sc
 
     fn = shard_map(
         local, mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis), P(axis), P(), P(), P(), P(),
-                  P()),
-        out_specs=(P(axis), P(axis), P(axis), P(axis)),
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(), P(),
+                  P(), P(), P(), P()),
+        out_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
         check_vma=False)
-    return fn(decoded, norms, is_empty, ids_sh, rows, row_norms, shard_of,
-              slots, new_ids)
+    return fn(decoded, norms, is_empty, ids_sh, scales_sh, rows, row_norms,
+              row_scales, shard_of, slots, new_ids)
 
 
 class ShardedIVFPQSearcher:
     def __init__(self, index, mesh=None, scan_mode="cell_major", p_tile=128,
                  scan_group=1):
-        assert not getattr(index, "_int8_cache", False), \
-            "ShardedIVFPQSearcher does not support int8 scan caches yet " \
-            "(the per-slot dequant scales are not sharded) — use a " \
-            "bfloat16/float32 cache"
+        self._int8 = bool(getattr(index, "_int8_cache", False))
+        assert not (self._int8 and scan_mode == "query_major"), \
+            "int8 caches have no query_major path (ops/adc.py) — use " \
+            "cell_major or flat"
         self.index = index
         self.mesh = mesh if mesh is not None else get_mesh()
         self.axis = self.mesh.axis_names[0]
@@ -174,6 +188,8 @@ class ShardedIVFPQSearcher:
         norms = np.asarray(idx.aux("norm"))[:, 0]
         empty = np.asarray(idx._is_empty)
         a2i = np.asarray(idx._address2id)
+        scale = (np.asarray(idx.aux("scale"))[:, 0] if self._int8
+                 else None)
 
         self.cells_per_shard = util.cdiv(n_cells, d_count)
         shard_caps = np.zeros(d_count, np.int64)
@@ -187,6 +203,8 @@ class ShardedIVFPQSearcher:
         nrm_sh = np.zeros((d_count, cap_sh), norms.dtype)
         emp_sh = np.ones((d_count, cap_sh), bool)
         ids_sh = np.full((d_count, cap_sh), -1, np.int64)
+        sc_sh = (np.zeros((d_count, cap_sh), np.float32) if self._int8
+                 else np.zeros((d_count, 1), np.float32))
         lstart = np.zeros((d_count, c_loc), np.int32)
         lcap = np.zeros((d_count, c_loc), np.int32)
         self.s_max = 1
@@ -201,6 +219,8 @@ class ShardedIVFPQSearcher:
                 nrm_sh[s, off:off + w] = norms[a:a + w]
                 emp_sh[s, off:off + w] = empty[a:a + w]
                 ids_sh[s, off:off + w] = a2i[a:a + w]
+                if self._int8:
+                    sc_sh[s, off:off + w] = scale[a:a + w]
                 off += w
                 self.s_max = max(self.s_max, w)
 
@@ -210,6 +230,7 @@ class ShardedIVFPQSearcher:
         self.norms = put(jnp.asarray(nrm_sh))
         self.is_empty = put(jnp.asarray(emp_sh))
         self.ids = put(jnp.asarray(ids_sh))
+        self.scales = put(jnp.asarray(sc_sh))
         self.cell_start = put(jnp.asarray(lstart))
         self.cell_capacity = put(jnp.asarray(lcap))
         repl = NamedSharding(self.mesh, P())
@@ -244,9 +265,12 @@ class ShardedIVFPQSearcher:
         new_start[:, 1:] = np.cumsum(new_caps[:, :-1], axis=1)
         cap_sh = util.next_pow2(int(new_caps.sum(axis=1).max()))
 
-        old = {name: np.asarray(getattr(self, name))
-               for name in ("decoded", "norms", "is_empty", "ids")}
-        fills = {"decoded": 0, "norms": 0, "is_empty": True, "ids": -1}
+        names = ["decoded", "norms", "is_empty", "ids"]
+        if self._int8:
+            names.append("scales")
+        old = {name: np.asarray(getattr(self, name)) for name in names}
+        fills = {"decoded": 0, "norms": 0, "is_empty": True, "ids": -1,
+                 "scales": 0}
         new = {}
         for name, arr in old.items():
             shape = (d_count, cap_sh) + arr.shape[2:]
@@ -286,7 +310,7 @@ class ShardedIVFPQSearcher:
             x = util.normalize(x, axis=0)
         n = int(x.shape[1])
         if n == 0:
-            return jnp.zeros((0,), jnp.int64)
+            return jnp.zeros((0,), util.id_dtype())
         cells = np.asarray(idx.vq_codec.encode(x)).astype(np.int64)
         if idx.pq_use_residual:
             recon = idx.vq_codec.decode(cells).T
@@ -296,6 +320,14 @@ class ShardedIVFPQSearcher:
             codes_nm = idx.pq_codec.encode_nd(x.T)
             decoded_rows = idx.pq_codec.decode_nd(codes_nm)
         norms_rows = jnp.sum(jnp.square(decoded_rows), axis=-1)
+        if self._int8:
+            absmax = jnp.maximum(
+                jnp.max(jnp.abs(decoded_rows), axis=-1), 1e-12)
+            scale_rows = absmax / 127.0
+            decoded_rows = jnp.round(
+                decoded_rows / scale_rows[:, None]).astype(jnp.int8)
+        else:
+            scale_rows = jnp.zeros((n,), jnp.float32)
         if ids is None:
             # host _max_id shadow: the sharded id store is O(capacity) and
             # device-resident — gathering it per add() would put a full
@@ -332,9 +364,10 @@ class ShardedIVFPQSearcher:
                                    + nf + np.arange(cnt))
             self._next_free[s, lc] += cnt
 
-        self.decoded, self.norms, self.is_empty, self.ids = _sharded_add(
+        (self.decoded, self.norms, self.is_empty, self.ids,
+         self.scales) = _sharded_add(
             self.mesh, self.decoded, self.norms, self.is_empty, self.ids,
-            decoded_rows, norms_rows,
+            self.scales, decoded_rows, norms_rows, scale_rows,
             jnp.asarray(shard_of.astype(np.int32)),
             jnp.asarray(slots.astype(np.int32)),
             jnp.asarray(ids), axis=self.axis)
@@ -354,6 +387,7 @@ class ShardedIVFPQSearcher:
                     int(self.decoded.shape[1]))
         self._flat_sh = _sharded_compact(
             self.mesh, self.decoded, self.norms, self.is_empty, self.ids,
+            self.scales,
             axis=self.axis, n_pad=n_pad)
         return self._flat_sh
 
@@ -368,13 +402,14 @@ class ShardedIVFPQSearcher:
         n_probe = min(idx.n_probe, idx.n_cells)
         if self.scan_mode == "flat":
             # flat ignores cell tables; sweep the compacted local caches
-            dec, nrm, emp, ids_sh = self._flat_compacted()
+            dec, nrm, emp, ids_sh, sc = self._flat_compacted()
         else:
-            dec, nrm, emp, ids_sh = (self.decoded, self.norms,
-                                     self.is_empty, self.ids)
+            dec, nrm, emp, ids_sh, sc = (self.decoded, self.norms,
+                                         self.is_empty, self.ids,
+                                         self.scales)
         return _sharded_search(
             self.mesh, dec, nrm, emp,
-            self.cell_start, self.cell_capacity, ids_sh, self.codebook,
+            self.cell_start, self.cell_capacity, ids_sh, sc, self.codebook,
             q, jnp.float32(idx.smart_probing_temperature),
             axis=self.axis, k=int(k), n_probe=n_probe,
             use_smart=idx.use_smart_probing, distance=self.distance,
