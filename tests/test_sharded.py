@@ -182,3 +182,40 @@ def test_sharded_int8_cache_matches_single_device(rng):
     _, got_f = searcher.search(jnp.asarray(x_new.T), k=1)
     match_f = (np.asarray(got_f)[:, 0] == new_ids).mean()
     assert match_f > 0.9, match_f
+
+
+def test_sharded_remove(rng):
+    index, x, ids = _filled_index(rng, n=800)
+    searcher = ShardedIVFPQSearcher(index, mesh=get_mesh(8))
+    removed = searcher.remove(ids[:100])
+    assert removed == 100
+    assert searcher.remove(ids[:100]) == 0  # already gone
+    index.n_probe = 16
+    _, got = searcher.search(jnp.asarray(x[:200].T), k=1)
+    got = np.asarray(got)[:, 0]
+    assert not set(got[:100].tolist()) & set(ids[:100].tolist())
+    match = (got[100:200] == ids[100:200]).mean()
+    assert match > 0.95, match
+    # flat mode sees the removals too (compaction rebuilds)
+    searcher.scan_mode = "flat"
+    _, got_f = searcher.search(jnp.asarray(x[:100].T), k=1)
+    assert not (set(np.asarray(got_f)[:, 0].tolist())
+                & set(ids[:100].tolist()))
+
+
+def test_data_parallel_kmeans_fit(rng):
+    from torchpq_tpu.parallel.sharded_ivfpq import data_parallel_kmeans_fit
+    from torchpq_tpu.clustering import KMeans
+    x = rng.normal(size=(1001, 16)).astype(np.float32)  # non-divisible n
+    cents, iters = data_parallel_kmeans_fit(
+        x, 8, mesh=get_mesh(8), max_iter=10, tol=0.0, seed=3)
+    assert cents.shape == (8, 16) and iters == 10
+    # quality parity: inertia within 10% of the single-device fit
+    km = KMeans(n_clusters=8, max_iter=10, tol=0.0, seed=3)
+    km.fit(jnp.asarray(x.T))
+    from torchpq_tpu.ops.max_sim import max_sim
+    dp_inertia = -float(jnp.mean(max_sim(jnp.asarray(x), cents,
+                                         "euclidean")[0]))
+    sd_inertia = -float(jnp.mean(max_sim(
+        jnp.asarray(x), km._centroids[0], "euclidean")[0]))
+    assert dp_inertia <= sd_inertia * 1.1, (dp_inertia, sd_inertia)

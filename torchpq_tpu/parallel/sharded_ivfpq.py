@@ -374,6 +374,19 @@ class ShardedIVFPQSearcher:
         self._flat_sh = None
         return jnp.asarray(ids)
 
+    def remove(self, ids):
+        """Mask the given ids out of every shard (holes stay empty — the
+        sharded path appends past them, like CellContainer's masked
+        removes). Returns the count actually removed."""
+        rm = np.asarray(ids).reshape(-1)
+        if rm.size == 0:
+            return 0
+        self.is_empty, self.ids, n = _sharded_remove(
+            self.mesh, self.is_empty, self.ids, jnp.asarray(rm),
+            axis=self.axis)
+        self._flat_sh = None
+        return int(np.asarray(n)[0] if np.asarray(n).ndim else n)
+
     def _flat_compacted(self):
         """Compacted per-shard (decoded, norms, is_empty, ids) for flat
         mode; rebuilt lazily after adds/grows. `_next_free` sums bound the
@@ -447,3 +460,82 @@ def data_parallel_lloyd_step(mesh, data_sharded, centroids, distance,
     fn = shard_map(step, mesh=mesh, in_specs=(P(axis), P()), out_specs=P(),
                    check_vma=False)
     return fn(data_sharded, centroids)
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "axis"),
+                   donate_argnums=(1, 2))
+def _sharded_remove(mesh, is_empty, ids_sh, rm_ids, *, axis):
+    """Mask out the slots holding any of rm_ids on every shard. O(cap * r)
+    compares per shard — removal is an occasional maintenance op, not the
+    ingest path. Returns the total removed across shards."""
+    def local(emp, ids, rm):
+        emp, ids = emp[0], ids[0]
+        hit = ~emp & jnp.isin(ids, rm)
+        emp = emp | hit
+        ids = jnp.where(hit, -1, ids)
+        n = jax.lax.psum(jnp.sum(hit.astype(jnp.int32)), axis)
+        return emp[None], ids[None], n
+
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(P(axis), P(axis), P()),
+                   out_specs=(P(axis), P(axis), P()),
+                   check_vma=False)
+    return fn(is_empty, ids_sh, rm_ids)
+
+
+def data_parallel_kmeans_fit(data, n_clusters, *, mesh=None, max_iter=15,
+                             tol=1e-4, distance="euclidean", seed=0,
+                             axis_name=None, verbose=0):
+    """Full data-parallel Lloyd over the mesh: rows shard across devices,
+    centroid updates merge with one psum per iteration over ICI.
+
+    data: [n, d] (host or replicated). Returns (centroids [k, d],
+    n_iters). The multi-chip counterpart of KMeans.fit — the reference is
+    single-GPU (SURVEY.md §2 parallelism inventory); n that doesn't divide
+    the mesh is padded with rows whose labels are dropped from the sums.
+    """
+    mesh = mesh if mesh is not None else get_mesh()
+    axis = axis_name or mesh.axis_names[0]
+    d_count = mesh.devices.size
+    distance = canonical_distance(distance)
+    data = np.asarray(data, np.float32)
+    n, d = data.shape
+    n_loc = util.cdiv(n, d_count)
+    pad = n_loc * d_count - n
+    valid = np.ones((d_count, n_loc), bool)
+    if pad:
+        valid.reshape(-1)[n:] = False
+        data = np.concatenate([data, np.zeros((pad, d), np.float32)])
+    data_sh = jax.device_put(
+        jnp.asarray(data.reshape(d_count, n_loc, d)),
+        NamedSharding(mesh, P(axis)))
+    valid_sh = jax.device_put(jnp.asarray(valid), NamedSharding(mesh, P(axis)))
+    rng = np.random.default_rng(seed)
+    cents = jnp.asarray(data[rng.choice(n, n_clusters, replace=False)])
+    cents = jax.device_put(cents, NamedSharding(mesh, P()))
+
+    def step(data, vmask, cents):
+        data, vmask = data[0], vmask[0]
+        from ..ops.max_sim import max_sim
+        from ..ops.segment_ops import compute_centroids
+        _, labels = max_sim(data, cents, distance)
+        # padding rows get label n_clusters -> dropped by segment_sum
+        labels = jnp.where(vmask, labels, n_clusters)
+        sums, counts = compute_centroids(data, labels, n_clusters)
+        sums = jax.lax.psum(sums, axis)
+        counts = jax.lax.psum(counts, axis)
+        new_c = jnp.where((counts > 0)[:, None],
+                          sums / jnp.maximum(counts, 1.0)[:, None], cents)
+        if distance == "cosine":
+            new_c = util.normalize(new_c)
+        err = jnp.sum(jnp.square(new_c - cents))
+        return new_c, err
+
+    fn = jax.jit(shard_map(step, mesh=mesh, in_specs=(P(axis), P(axis), P()),
+                           out_specs=(P(), P()), check_vma=False))
+    it = 0
+    for it in range(1, max_iter + 1):
+        cents, err = fn(data_sh, valid_sh, cents)
+        if float(err) <= tol:
+            break
+    return cents, it
