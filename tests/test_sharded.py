@@ -219,3 +219,17 @@ def test_data_parallel_kmeans_fit(rng):
     sd_inertia = -float(jnp.mean(max_sim(
         jnp.asarray(x), km._centroids[0], "euclidean")[0]))
     assert dp_inertia <= sd_inertia * 1.1, (dp_inertia, sd_inertia)
+
+
+def test_sharded_on_partial_mesh(rng):
+    """A 4-device mesh on an 8-device host: non-full meshes must work."""
+    index, x, ids = _filled_index(rng, n=800, n_cells=16)
+    index.n_probe = 8
+    index.use_smart_probing = False
+    index.scan_mode = "cell_major"
+    v1, i1 = index.search(jnp.asarray(x[:20].T), k=3)
+    searcher = ShardedIVFPQSearcher(index, mesh=get_mesh(4))
+    assert searcher.n_shards == 4
+    v2, i2 = searcher.search(jnp.asarray(x[:20].T), k=3)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2),
+                               rtol=1e-3, atol=1e-3)

@@ -98,3 +98,4 @@ class FlatContainerGroup(FlatContainer):
             "_aux_" + name,
             self.aux(name).at[tgt].set(
                 jnp.asarray(data).T.astype(dt), mode="drop"))
+        self._mutations += 1
