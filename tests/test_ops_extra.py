@@ -55,3 +55,29 @@ def test_phase_timer():
     with t.phase("a"):
         pass
     assert "a" in t.report()
+
+
+def test_native_reader_offset_and_stream(tmp_path, rng):
+    from torchpq_tpu import native
+    d, n = 12, 107
+    data = rng.standard_normal((n, d)).astype(np.float32)
+    path = tmp_path / "toy.fvecs"
+    with open(path, "wb") as f:
+        for row in data:
+            f.write(np.int32(d).tobytes())
+            f.write(row.tobytes())
+    # full, bounded, offset reads agree with the source (native path)
+    np.testing.assert_array_equal(native.read_fvecs(path), data)
+    np.testing.assert_array_equal(native.read_fvecs(path, n_max=5),
+                                  data[:5])
+    np.testing.assert_array_equal(
+        native.read_fvecs(path, n_max=10, offset=100), data[100:107])
+    # the numpy fallback matches the native reader
+    np.testing.assert_array_equal(
+        native._read_vecs_numpy(path, np.float32, 10, 100), data[100:107])
+    # streaming covers the file exactly once
+    got = np.concatenate(list(native.stream_vecs(path, chunk_rows=25)))
+    np.testing.assert_array_equal(got, data)
+    got2 = np.concatenate(list(native.stream_vecs(path, chunk_rows=25,
+                                                  n_max=60)))
+    np.testing.assert_array_equal(got2, data[:60])

@@ -23,9 +23,20 @@ extern "C" {
 // ---------------------------------------------------------------------------
 
 static int64_t read_vecs(const char* path, int64_t n_max, int32_t d_expect,
-                         int64_t elem_size, void* out) {
+                         int64_t elem_size, void* out,
+                         int64_t offset_rows = 0) {
     FILE* f = fopen(path, "rb");
     if (!f) return -1;
+    if (offset_rows > 0) {
+        // rows are fixed-size ([int32 d][payload]) -> direct seek; lets
+        // callers stream files bigger than RAM chunk by chunk
+        const int64_t stride =
+            sizeof(int32_t) + static_cast<int64_t>(d_expect) * elem_size;
+        if (fseeko(f, offset_rows * stride, SEEK_SET) != 0) {
+            fclose(f);
+            return -1;
+        }
+    }
     int64_t row = 0;
     char* dst = static_cast<char*>(out);
     const int64_t row_bytes = static_cast<int64_t>(d_expect) * elem_size;
@@ -44,16 +55,19 @@ static int64_t read_vecs(const char* path, int64_t n_max, int32_t d_expect,
     return row;
 }
 
-int64_t read_fvecs(const char* path, int64_t n_max, int32_t d, float* out) {
-    return read_vecs(path, n_max, d, sizeof(float), out);
+int64_t read_fvecs(const char* path, int64_t n_max, int32_t d, float* out,
+                   int64_t offset_rows) {
+    return read_vecs(path, n_max, d, sizeof(float), out, offset_rows);
 }
 
-int64_t read_bvecs(const char* path, int64_t n_max, int32_t d, uint8_t* out) {
-    return read_vecs(path, n_max, d, sizeof(uint8_t), out);
+int64_t read_bvecs(const char* path, int64_t n_max, int32_t d, uint8_t* out,
+                   int64_t offset_rows) {
+    return read_vecs(path, n_max, d, sizeof(uint8_t), out, offset_rows);
 }
 
-int64_t read_ivecs(const char* path, int64_t n_max, int32_t d, int32_t* out) {
-    return read_vecs(path, n_max, d, sizeof(int32_t), out);
+int64_t read_ivecs(const char* path, int64_t n_max, int32_t d, int32_t* out,
+                   int64_t offset_rows) {
+    return read_vecs(path, n_max, d, sizeof(int32_t), out, offset_rows);
 }
 
 // Peek the dimensionality of the first row (-1 on error).
