@@ -82,3 +82,21 @@ def test_kmeanspp_init(rng):
     km = KMeans(n_clusters=8, max_iter=10, init_mode="kmeans++")
     labels = km.fit(jnp.asarray(x.T))
     assert len(np.unique(np.asarray(labels))) >= 6
+
+
+def test_multikmeans_topk_batched(rng):
+    """MultiKMeans.topk (one batched program) matches per-problem topk."""
+    from torchpq_tpu.clustering import MultiKMeans
+    from torchpq_tpu.ops.max_sim import topk_sim
+    m, dsub, n = 4, 8, 300
+    x = rng.standard_normal((m, dsub, n)).astype(np.float32)
+    km = MultiKMeans(n_clusters=16, max_iter=5)
+    km.fit(jnp.asarray(x))
+    vals, idx = km.topk(jnp.asarray(x), k=3)
+    assert vals.shape == (m, n, 3) and idx.shape == (m, n, 3)
+    for i in range(m):
+        v1, i1 = topk_sim(jnp.asarray(x[i].T), km._centroids[i], 3,
+                          "euclidean")
+        np.testing.assert_allclose(np.asarray(vals[i]), np.asarray(v1),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(idx[i]), np.asarray(i1))
