@@ -55,10 +55,15 @@ def main():
                          "bench.make_data)")
     ap.add_argument("--cache", default=None,
                     help="scan cache dtype: bfloat16|int8|float32")
+    ap.add_argument("--index", default="ivfpq", choices=("ivfpq", "ivfpqr"),
+                    help="ivfpqr: two-stage rerank index (extra "
+                         "--rerank-subvectors bytes/code)")
+    ap.add_argument("--rerank-subvectors", type=int, default=32)
+    ap.add_argument("--rerank-multiplier", type=int, default=4)
     args = ap.parse_args()
 
     from bench import make_data, brute_force_topk, recall_at_k
-    from torchpq_tpu.index import IVFPQIndex
+    from torchpq_tpu.index import IVFPQIndex, IVFPQRIndex
     from torchpq_tpu import native
 
     if args.base:
@@ -74,11 +79,17 @@ def main():
         name = args.name or f"synthetic{len(base)}"
     d = base.shape[1]
 
-    index = IVFPQIndex(
+    kwargs = dict(
         d_vector=d, n_subvectors=args.n_subvectors, n_cells=args.n_cells,
         distance=args.distance, pq_use_residual=args.residual,
         initial_size=max(16, (len(base) // args.n_cells) * args.initial_mult),
         scan_cache_dtype=args.cache)
+    if args.index == "ivfpqr":
+        index = IVFPQRIndex(n_subvectors_rerank=args.rerank_subvectors,
+                            rerank_multiplier=args.rerank_multiplier,
+                            **kwargs)
+    else:
+        index = IVFPQIndex(**kwargs)
     index.use_approx_topk = True
     index.spill_cells = 8
     index.spill_capacity = index.max_cell_capacity
@@ -145,13 +156,15 @@ def main():
         "dataset": name, "n_base": len(base), "d": d,
         "n_cells": args.n_cells, "n_subvectors": args.n_subvectors,
         "distance": args.distance, "residual": args.residual,
+        "index": args.index,
         "train_s": round(train_s, 2), "add_s": round(add_s, 2),
         "device": str(jax.devices()[0]), "entries": entries,
     }
     os.makedirs(os.path.join(os.path.dirname(__file__), "results"),
                 exist_ok=True)
+    rr = (f"r{args.rerank_subvectors}" if args.index == "ivfpqr" else "")
     path = os.path.join(os.path.dirname(__file__), "results",
-                        f"ivf{args.n_cells}_pq{args.n_subvectors}"
+                        f"ivf{args.n_cells}_pq{args.n_subvectors}{rr}"
                         f"{'_residual' if args.residual else ''}_{name}.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
