@@ -175,8 +175,7 @@ def scan_query_major(query, cells, probe_mask, decoded, norms, is_empty,
     distance = canonical_distance(distance)
     assert decoded.dtype != jnp.int8, \
         "int8 caches need per-slot scales — use scan_cell_major or the flat sweep"
-    nq, n_probe = cells.shape
-    cap_total = decoded.shape[0]
+    nq = cells.shape[0]
     slot_iota = jnp.arange(s_max, dtype=jnp.int32)
 
     def one_chunk(args):
@@ -345,6 +344,8 @@ def scan_cell_major(query, cells, probe_mask, decoded, norms, is_empty,
     cell_all = jnp.maximum(block_cell, 0)
     qidx_all = jnp.maximum(probers, 0)
     int8_cache = decoded.dtype == jnp.int8
+    assert not (int8_cache and distance == "manhattan"), \
+        "int8 caches cannot score manhattan (no dequant in the L1 path)"
     if int8_cache:
         # symmetric per-query / per-slot int8 quantization: the candidate
         # dequant scale rides the same per-slot stream as the penalty; the
@@ -383,12 +384,20 @@ def scan_cell_major(query, cells, probe_mask, decoded, norms, is_empty,
         and not int8_cache
         # f32 query table must fit the kernel's VMEM budget
         and nq * d * 4 <= PALLAS_QUERY_VMEM_BYTES)
+    if impl == "pallas" and not use_pallas:
+        import warnings
+        warnings.warn(
+            "scan_cell_major: impl='pallas' requested but the kernel gate "
+            f"fails (k_pair={k_pair}<=16? dist={distance}!=manhattan? "
+            f"int8={int8_cache}? query table {nq * d * 4} <= "
+            f"{PALLAS_QUERY_VMEM_BYTES}B?) — falling back to XLA",
+            stacklevel=2)
 
     # pack32: one int32 per candidate (truncated sortable value | slot)
     # instead of (key, addr) pairs — halves the unsort-gather payload. The
     # value loses log2(s_pow2) mantissa bits, well below bf16 scoring noise;
     # only engaged in approx mode (exact mode keeps bit-exact values).
-    s_pow2 = max(1, 1 << (s_eff - 1).bit_length())
+    s_pow2 = util.next_pow2(s_eff)
     pack32 = approx and not use_pallas and s_pow2 <= 4096
     slot_mask = s_pow2 - 1
     key_neg_big = _f32_sortable_i32(-big) & jnp.int32(~slot_mask)

@@ -34,11 +34,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _f32_sortable_i32(x):
-    u = jax.lax.bitcast_convert_type(x, jnp.uint32)
-    sign = (u >> 31) == 1
-    key = jnp.where(sign, (~u) ^ jnp.uint32(0x80000000), u)
-    return jax.lax.bitcast_convert_type(key, jnp.int32)
+# the order-preserving f32->i32 bijection must stay bit-exact with the
+# XLA path's decoder (adc._sortable_i32_f32) — one definition only
+from .adc import _f32_sortable_i32  # noqa: E402
 
 
 def _make_kernel(s_eff, k_pair, p_tile, d, n_rows, euclidean, big):
