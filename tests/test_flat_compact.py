@@ -97,3 +97,16 @@ def test_save_load_bf16_roundtrip(tmp_path, built):
     v1, p1 = ix.search(q, k=5)
     v2, p2 = ix2.search(q, k=5)
     np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+
+
+def test_save_load_orbax_roundtrip(tmp_path, built):
+    ix, x, ids = built
+    path = str(tmp_path / "ckpt_orbax")
+    ix.save(path, format="orbax")
+    ix2 = IVFPQIndex(d_vector=32, n_subvectors=16, n_cells=32)
+    ix2.load(path)
+    assert str(ix2.aux("decoded").dtype) == "bfloat16"
+    q = jnp.asarray(x[:16].T)
+    v1, p1 = ix.search(q, k=5)
+    v2, p2 = ix2.search(q, k=5)
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))

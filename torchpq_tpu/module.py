@@ -62,10 +62,24 @@ class StateModule:
     def _after_load(self):
         """Hook for derived classes to rebuild derived/python-side state."""
 
-    def save(self, path):
-        """np.savez of the state dict. Extension dtypes (bfloat16) are not
-        round-trippable through the .npy format, so they're stored as their
-        raw uint16 bits plus a `<key>::bfloat16` marker entry."""
+    def save(self, path, format="npz"):
+        """Checkpoint the state dict.
+
+        format="npz" (default): one portable np.savez file. Extension
+        dtypes (bfloat16) are not round-trippable through the .npy format,
+        so they're stored as raw uint16 bits plus a `<key>::bfloat16`
+        marker entry.
+        format="orbax": an orbax PyTree checkpoint directory — the
+        TPU-idiomatic path (async-capable, native bf16, scales to sharded
+        arrays; SURVEY.md §5.4)."""
+        if format == "orbax":
+            import orbax.checkpoint as ocp
+            import os
+            ocp.PyTreeCheckpointer().save(
+                os.path.abspath(os.fspath(path)),
+                {k: np.asarray(v) for k, v in self.state_dict().items()})
+            return
+        assert format == "npz", format
         import ml_dtypes
         arrays = {}
         for k, v in self.state_dict().items():
@@ -80,6 +94,13 @@ class StateModule:
     def load(self, path):
         import ml_dtypes
         import os
+        if os.path.isdir(path):  # orbax checkpoint directory
+            import orbax.checkpoint as ocp
+            state = ocp.PyTreeCheckpointer().restore(
+                os.path.abspath(os.fspath(path)))
+            self.load_state_dict(
+                {k: np.asarray(v) for k, v in state.items()})
+            return
         if not os.path.exists(path) and os.path.exists(str(path) + ".npz"):
             # np.savez appends .npz to extension-less save paths; accept
             # the same string the caller saved with
