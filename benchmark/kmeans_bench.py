@@ -106,7 +106,12 @@ def main():
                   f"warm {warm_s:.2f}s ({warm_s / N_ITER * 1e3:.0f} ms/iter)",
                   file=sys.stderr)
 
-    path = os.path.join(os.path.dirname(__file__), "results", "kmeans.json")
+    # device-suffixed filename off-TPU so a CPU smoke run can never clobber
+    # the recorded TPU results
+    platform = jax.devices()[0].platform.lower()
+    fname = ("kmeans.json" if platform not in ("cpu", "gpu")
+             else f"kmeans_{platform}.json")
+    path = os.path.join(os.path.dirname(__file__), "results", fname)
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps({"metric": "kmeans-warm-fit-n1m-k256-d256",
