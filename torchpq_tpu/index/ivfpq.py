@@ -107,10 +107,8 @@ def _cache_chunk(storage, cell_start, pq_codebook, vq_rows, c0, *, chunk,
         dec = dec + vq_rows[cell]
     nrm = jnp.sum(jnp.square(dec), axis=-1, keepdims=True)
     if int8:
-        absmax = jnp.maximum(
-            jnp.max(jnp.abs(dec), axis=-1, keepdims=True), 1e-12)
-        scale = absmax / 127.0
-        return jnp.round(dec / scale).astype(jnp.int8), nrm, scale
+        q, scale = util.int8_quantize_rows(dec)
+        return q, nrm, scale[:, None]
     return dec.astype(out_dtype), nrm, None
 
 
@@ -450,11 +448,9 @@ class IVFPQIndex(CellContainer):
         norms = jnp.sum(jnp.square(decoded), axis=-1, keepdims=True)
         aux_rows = {"norm": norms}
         if self._int8_cache:
-            absmax = jnp.maximum(
-                jnp.max(jnp.abs(decoded), axis=-1, keepdims=True), 1e-12)
-            aux_rows["scale"] = absmax / 127.0
-            aux_rows["decoded"] = jnp.round(
-                decoded / aux_rows["scale"]).astype(jnp.int8)
+            q, scale = util.int8_quantize_rows(decoded)
+            aux_rows["decoded"] = q
+            aux_rows["scale"] = scale[:, None]
         else:
             aux_rows["decoded"] = decoded
         return super().add(

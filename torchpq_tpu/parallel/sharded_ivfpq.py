@@ -321,11 +321,7 @@ class ShardedIVFPQSearcher:
             decoded_rows = idx.pq_codec.decode_nd(codes_nm)
         norms_rows = jnp.sum(jnp.square(decoded_rows), axis=-1)
         if self._int8:
-            absmax = jnp.maximum(
-                jnp.max(jnp.abs(decoded_rows), axis=-1), 1e-12)
-            scale_rows = absmax / 127.0
-            decoded_rows = jnp.round(
-                decoded_rows / scale_rows[:, None]).astype(jnp.int8)
+            decoded_rows, scale_rows = util.int8_quantize_rows(decoded_rows)
         else:
             scale_rows = jnp.zeros((n,), jnp.float32)
         if ids is None:
@@ -385,7 +381,7 @@ class ShardedIVFPQSearcher:
             self.mesh, self.is_empty, self.ids, jnp.asarray(rm),
             axis=self.axis)
         self._flat_sh = None
-        return int(np.asarray(n)[0] if np.asarray(n).ndim else n)
+        return int(np.asarray(n).reshape(-1)[0])
 
     def _flat_compacted(self):
         """Compacted per-shard (decoded, norms, is_empty, ids) for flat
@@ -513,7 +509,22 @@ def data_parallel_kmeans_fit(data, n_clusters, *, mesh=None, max_iter=15,
     rng = np.random.default_rng(seed)
     cents = jnp.asarray(data[rng.choice(n, n_clusters, replace=False)])
     cents = jax.device_put(cents, NamedSharding(mesh, P()))
+    it = 0
+    for it in range(1, max_iter + 1):
+        cents, err = _dp_kmeans_step(mesh, data_sh, valid_sh, cents,
+                                     axis=axis, distance=distance,
+                                     n_clusters=n_clusters)
+        if float(err) <= tol:
+            break
+    return cents, it
 
+
+@functools.partial(
+    jax.jit, static_argnames=("mesh", "axis", "distance", "n_clusters"))
+def _dp_kmeans_step(mesh, data_sh, valid_sh, cents, *, axis, distance,
+                    n_clusters):
+    """One masked, psum-merged Lloyd iteration (module-level jit: a fresh
+    closure per fit call would retrace every iteration — CLAUDE.md)."""
     def step(data, vmask, cents):
         data, vmask = data[0], vmask[0]
         from ..ops.max_sim import max_sim
@@ -531,11 +542,6 @@ def data_parallel_kmeans_fit(data, n_clusters, *, mesh=None, max_iter=15,
         err = jnp.sum(jnp.square(new_c - cents))
         return new_c, err
 
-    fn = jax.jit(shard_map(step, mesh=mesh, in_specs=(P(axis), P(axis), P()),
-                           out_specs=(P(), P()), check_vma=False))
-    it = 0
-    for it in range(1, max_iter + 1):
-        cents, err = fn(data_sh, valid_sh, cents)
-        if float(err) <= tol:
-            break
-    return cents, it
+    fn = shard_map(step, mesh=mesh, in_specs=(P(axis), P(axis), P()),
+                   out_specs=(P(), P()), check_vma=False)
+    return fn(data_sh, valid_sh, cents)

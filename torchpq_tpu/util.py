@@ -51,6 +51,16 @@ def id_dtype():
     return jnp.int64 if jax.config.jax_enable_x64 else jnp.int32
 
 
+def int8_quantize_rows(rows):
+    """Per-row symmetric int8 quantization for the scan cache:
+    rows [n, d] f32 -> (q [n, d] int8, scale [n] f32) with
+    rows ≈ q * scale[:, None]. One definition for the index add path, the
+    relayout rebuilder, and the sharded add path."""
+    absmax = jnp.maximum(jnp.max(jnp.abs(rows), axis=-1), 1e-12)
+    scale = absmax / 127.0
+    return jnp.round(rows / scale[:, None]).astype(jnp.int8), scale
+
+
 def normalize(x, axis=-1, eps=1e-12):
     """L2-normalize along `axis` (reference torchpq/util.py `normalize`)."""
     n = jnp.linalg.norm(x, axis=axis, keepdims=True)
