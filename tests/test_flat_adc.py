@@ -108,3 +108,21 @@ def test_index_flat_mode_int8_cache(rng):
     overlap = np.mean([len(np.intersect1d(g, w)) / k
                        for g, w in zip(np.asarray(got_ids), want)])
     assert overlap > 0.9, f"overlap {overlap}"
+
+
+def test_flat_exact_mode_chunk_bound(rng):
+    """approx=False bounds its score tile (the exact top_k materializes
+    [nq, chunk]); multi-chunk exact results must equal brute force."""
+    import jax.numpy as jnp
+    from torchpq_tpu.ops.flat_adc import flat_adc_scan
+    nq, n, d, k = 16, 5000, 16, 7
+    q = jnp.asarray(rng.standard_normal((nq, d)).astype(np.float32))
+    dec = rng.standard_normal((n, d)).astype(np.float32)
+    pen = jnp.asarray((dec ** 2).sum(1))
+    # chunk=256 forces the multi-chunk exact merge path
+    v, a = flat_adc_scan(q, jnp.asarray(dec), pen, k=k,
+                         distance="euclidean", chunk=256, approx=False)
+    s = 2.0 * np.asarray(q) @ dec.T - (dec ** 2).sum(1)[None, :] \
+        - (np.asarray(q) ** 2).sum(1)[:, None]
+    want = np.argsort(-s, axis=1)[:, :k]
+    np.testing.assert_array_equal(np.asarray(a), want)
