@@ -233,3 +233,19 @@ def test_sharded_on_partial_mesh(rng):
     v2, i2 = searcher.search(jnp.asarray(x[:20].T), k=3)
     np.testing.assert_allclose(np.asarray(v1), np.asarray(v2),
                                rtol=1e-3, atol=1e-3)
+
+
+def test_data_parallel_search_matches_single_device(rng):
+    from torchpq_tpu.parallel.sharded_ivfpq import data_parallel_search
+    index, x, ids = _filled_index(rng, n=800)
+    index.n_probe = 8
+    index.use_smart_probing = False
+    index.scan_mode = "cell_major"
+    q = x[:41]  # deliberately not a multiple of the mesh size
+    v1, i1 = index.search(jnp.asarray(q.T), k=5)
+    v2, i2 = data_parallel_search(index, jnp.asarray(q.T), k=5,
+                                  mesh=get_mesh(8))
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2),
+                               rtol=1e-3, atol=1e-3)
+    agree = (np.asarray(i1) == np.asarray(i2)).mean()
+    assert agree > 0.95, agree

@@ -8,4 +8,4 @@ all-gather top-k over ICI (SURVEY.md §5.8).
 
 from .mesh import get_mesh, device_count
 from .sharded_ivfpq import (ShardedIVFPQSearcher, data_parallel_lloyd_step,
-                            data_parallel_kmeans_fit)
+                            data_parallel_kmeans_fit, data_parallel_search)

@@ -545,3 +545,45 @@ def _dp_kmeans_step(mesh, data_sh, valid_sh, cents, *, axis, distance,
     fn = shard_map(step, mesh=mesh, in_specs=(P(axis), P(axis), P()),
                    out_specs=(P(), P()), check_vma=False)
     return fn(data_sh, valid_sh, cents)
+
+
+def data_parallel_search(index, x, k=1, mesh=None):
+    """Query-data-parallel search: the OTHER scaling axis.
+
+    ShardedIVFPQSearcher shards *cells* (capacity scaling: each chip holds
+    1/D of the index, every chip sees every query). This helper shards
+    *queries* (throughput scaling: the whole index is replicated on every
+    chip, each chip serves its own query slice with zero cross-chip
+    communication). Right when the index fits one chip's HBM and query
+    volume is the bottleneck — D chips give ~D x QPS.
+
+    x: [d_vector, nq]; returns (values [nq, k], ids [nq, k]). Queries pad
+    to a multiple of the mesh size; jit + shardings make XLA place the
+    per-chip slices (no shard_map needed — the computation is pointwise
+    over queries).
+    """
+    mesh = mesh if mesh is not None else get_mesh()
+    axis = mesh.axis_names[0]
+    d_count = mesh.devices.size
+    x = jnp.asarray(x).astype(jnp.float32)
+    nq = int(x.shape[1])
+    pad = (-nq) % d_count
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad)))
+    qshard = NamedSharding(mesh, P(None, axis))
+    x = jax.device_put(x, qshard)
+    # run the index's own search under the sharding constraint: state is
+    # replicated (device_put below), queries split on the batch axis, and
+    # the outputs inherit the query sharding
+    repl = NamedSharding(mesh, P())
+    for name in ("_storage", "_address2id", "_is_empty", "_cell_start",
+                 "_cell_capacity"):
+        setattr(index, name, jax.device_put(getattr(index, name), repl))
+    for name in list(index._aux):
+        setattr(index, "_aux_" + name,
+                jax.device_put(index.aux(name), repl))
+    index._flat_cache = None  # rebuilt under the replicated placement
+    vals, ids = index.search(x, k=k)
+    if pad:
+        vals, ids = vals[:nq], ids[:nq]
+    return vals, ids
