@@ -263,3 +263,26 @@ def test_cell_major_pack32_with_group_and_int8(rng):
         len(np.intersect1d(a, b)) / k
         for a, b in zip(np.asarray(got), np.asarray(want))])
     assert overlap > 0.8, f"overlap {overlap}"
+
+
+def test_smart_probing_mask_matches_reference_math(rng):
+    """_coarse_probe's entropy-adaptive mask reproduces the reference
+    formula (IVFPQIndex.py:499-512): p = softmax(-sqrt|s|/T), per-query
+    budget = clip(ceil(H_norm * n_probe), 1, n_probe)."""
+    from torchpq_tpu.index.ivfpq import _coarse_probe
+    nq, k_cells, d, n_probe, temp = 32, 64, 16, 8, 30.0
+    q = jnp.asarray(rng.standard_normal((nq, d)).astype(np.float32))
+    cb = jnp.asarray(rng.standard_normal((k_cells, d)).astype(np.float32))
+    sims, cells, mask = _coarse_probe(
+        q, cb, jnp.float32(temp), n_probe=n_probe, use_smart=True,
+        precision=None)
+    s = np.asarray(sims)
+    z = -np.sqrt(np.abs(s)) / temp
+    p = np.exp(z - z.max(1, keepdims=True))
+    p /= p.sum(1, keepdims=True)
+    h = -(p * np.log2(np.maximum(p, 1e-30)) / np.log2(n_probe)).sum(1)
+    budget = np.clip(np.ceil(h * n_probe), 1, n_probe).astype(int)
+    want = np.arange(n_probe)[None, :] < budget[:, None]
+    np.testing.assert_array_equal(np.asarray(mask), want)
+    # budgets must actually vary with query sharpness on random data
+    assert budget.min() >= 1 and budget.max() <= n_probe
