@@ -118,7 +118,18 @@ def main():
     print(f"train {train_s:.1f}s add {add_s:.1f}s", file=sys.stderr)
 
     k_max = max(args.ks)
-    gt = brute_force_topk(base, query, k_max, cache_key=f"sweep_{name}",
+    # GT depends only on the dataset (+ metric/sizes/k, appended by
+    # brute_force_topk) — NOT on the run name or index config. Keying by
+    # dataset identity lets e.g. the int8-cache and IVFPQR sweeps reuse the
+    # class sweep's GT automatically, and fixes the latent collision where
+    # two synthetic runs with different --d but the same default name
+    # ("synthetic<n>") would silently share a stale GT file.
+    if args.base:
+        gt_key = "sweep_" + os.path.basename(args.base).split(".")[0]
+    else:
+        gt_key = f"sweep_synth_d{d}" + (
+            "" if args.spectrum == "flat" else f"_{args.spectrum}")
+    gt = brute_force_topk(base, query, k_max, cache_key=gt_key,
                           metric=args.distance)
     ids_map = np.arange(len(base))
     qj = jnp.asarray(query.T)

@@ -14,17 +14,13 @@ env PYTHONUNBUFFERED=1 $P -u benchmark/sweep.py \
   --d 960 --n-query 1000 --ks 10 100 --name gist1m_class \
   --n-probes 1 8 32 128 --initial-mult 2 2>&1 | tail -8
 
-# 2. int8 scan-cache sweep (GT seeded from the class cache)
-CLS=/tmp/gt_sweep_sift1m_class_euclidean_1000000_10000_100.npy
-I8=/tmp/gt_sweep_sift1m_int8_euclidean_1000000_10000_100.npy
-[ -f "$CLS" ] && [ ! -f "$I8" ] && cp "$CLS" "$I8"
+# 2. int8 scan-cache sweep (GT shared with the class sweep automatically —
+#    sweep.py keys the GT cache by dataset identity, not run name)
 env PYTHONUNBUFFERED=1 $P -u benchmark/sweep.py \
   --cache int8 --name sift1m_int8 --n-probes 1 8 32 128 --ks 10 100 \
   2>&1 | tail -6
 
 # 3. IVFPQR rerank sweep (pq64 + r32: 96-byte codes, quality headroom)
-PQR=/tmp/gt_sweep_sift1m_pqr_euclidean_1000000_10000_100.npy
-[ -f "$CLS" ] && [ ! -f "$PQR" ] && cp "$CLS" "$PQR"
 env PYTHONUNBUFFERED=1 $P -u benchmark/sweep.py \
   --index ivfpqr --rerank-subvectors 32 --name sift1m_pqr \
   --n-probes 1 8 32 --ks 10 100 2>&1 | tail -6

@@ -25,9 +25,9 @@ def _load(path, name):
 
 @pytest.fixture(scope="module")
 def sweep_json():
-    # the GT cache key (bench.brute_force_topk) omits d, so a stale file
-    # from an earlier fixture revision would silently poison the recalls
-    gt = "/tmp/gt_sweep_smoke_euclidean_2000_64_10.npy"
+    # the GT cache is keyed by dataset identity (incl. d); still remove it
+    # so the fixture never trusts a file from an earlier revision
+    gt = "/tmp/gt_sweep_synth_d32_euclidean_2000_64_10.npy"
     if os.path.exists(gt):
         os.remove(gt)
     sweep = _load(os.path.join(REPO, "benchmark", "sweep.py"), "_sweep_smoke")
