@@ -125,7 +125,11 @@ def main():
     # two synthetic runs with different --d but the same default name
     # ("synthetic<n>") would silently share a stale GT file.
     if args.base:
-        gt_key = "sweep_" + os.path.basename(args.base).split(".")[0]
+        # base AND query identity: same base scanned with two different
+        # query files of equal length must not share a GT entry
+        gt_key = ("sweep_" + os.path.basename(args.base).split(".")[0]
+                  + "_" + (os.path.basename(args.query).split(".")[0]
+                           if args.query else "headq"))
     else:
         gt_key = f"sweep_synth_d{d}" + (
             "" if args.spectrum == "flat" else f"_{args.spectrum}")

@@ -106,7 +106,8 @@ def main():
     ap.add_argument("--metric", default="euclidean",
                     choices=("euclidean", "inner", "cosine"))
     ap.add_argument("--key", default=None,
-                    help="cache-key override, e.g. sweep_sift1m_cosine "
+                    help="cache-key override, e.g. sweep_synth_d128 with "
+                         "--metric cosine "
                          "(writes the file benchmark/sweep.py reads; sweep "
                          "looks the cache up at k = max(--ks), so pass the "
                          "matching --k, e.g. --k 100)")

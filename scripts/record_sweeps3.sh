@@ -1,15 +1,11 @@
 #!/bin/bash
 # Re-record all recall/QPS sweeps with the current engine (the earlier
 # sift1m_class.json predates live-row compaction + the single-chunk flat
-# sweep). Serial: one TPU process at a time. GT caches: sift1m_class and
-# gist1m_class exist; sift1m_residual is seeded from sift1m_class (same
-# data+metric); sift1m_cosine is computed host-side in parallel.
+# sweep). Serial: one TPU process at a time. GT caches are keyed by dataset
+# identity (sweep_synth_d128), so the class/residual runs share
+# automatically; the cosine run recomputes for its metric.
 set -xeo pipefail
 P=/opt/venv/bin/python
-# seed the residual sweep's GT cache from the class sweep (same data+metric)
-CLS=/tmp/gt_sweep_sift1m_class_euclidean_1000000_10000_100.npy
-RES=/tmp/gt_sweep_sift1m_residual_euclidean_1000000_10000_100.npy
-[ -f "$CLS" ] && [ ! -f "$RES" ] && cp "$CLS" "$RES"
 env PYTHONUNBUFFERED=1 $P -u benchmark/sweep.py \
   --n-probes 1 2 4 8 16 32 64 128 --name sift1m_class 2>&1 | tail -3
 env PYTHONUNBUFFERED=1 $P -u benchmark/sweep.py \

@@ -14,8 +14,9 @@ env PYTHONUNBUFFERED=1 $P -u benchmark/sweep.py \
   --d 960 --n-query 1000 --ks 10 100 --name gist1m_class \
   --n-probes 1 8 32 128 --initial-mult 2 2>&1 | tail -8
 
-# 2. int8 scan-cache sweep (GT shared with the class sweep automatically —
-#    sweep.py keys the GT cache by dataset identity, not run name)
+# 2. int8 scan-cache sweep (d=128 / 10k queries — shares its GT with the
+#    IVFPQR sweep below, NOT with the d=960 gist run; on a fresh /tmp this
+#    step pays the one-off 1M x 10k GT compute)
 env PYTHONUNBUFFERED=1 $P -u benchmark/sweep.py \
   --cache int8 --name sift1m_int8 --n-probes 1 8 32 128 --ks 10 100 \
   2>&1 | tail -6

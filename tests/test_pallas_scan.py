@@ -36,3 +36,67 @@ def test_pallas_scan_matches_xla(rng, distance):
     np.testing.assert_allclose(np.asarray(v_p), np.asarray(v_x),
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_array_equal(np.asarray(a_p), np.asarray(a_x))
+
+
+def _scan_setup(rng, n, d=32, m=8, n_cells=8, distance="euclidean"):
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    index = IVFPQIndex(d_vector=d, n_subvectors=m, n_cells=n_cells,
+                       distance=distance, scan_cache_dtype="float32",
+                       initial_size=64)
+    index.train(jnp.asarray(x.T))
+    index.add(jnp.asarray(x.T))
+    return index
+
+
+def test_pallas_approx_scan_recall(rng):
+    """Approx kernel (strided group reduce + pack32 wire format) must agree
+    with the exact scan on nearly all winners; s_eff >= 256 so the group
+    reduction actually engages."""
+    index = _scan_setup(rng, n=3000)
+    assert index.max_cell_capacity >= 256, "test needs the group-reduce path"
+    nq, n_probe, k = 32, 4, 8
+    q = jnp.asarray(rng.normal(size=(nq, 32)).astype(np.float32))
+    _, cells, mask = _coarse_probe(
+        q, index.vq_codec.kmeans._centroids[0], jnp.float32(30.0),
+        n_probe=n_probe, use_smart=False, precision=None)
+    args = (q, cells, mask, index.aux("decoded"), index.aux("norm")[:, 0],
+            index._is_empty, index._cell_start, index._cell_capacity)
+    kw = dict(k=k, distance="euclidean", s_max=index.max_cell_capacity,
+              n_cells=8)
+    v_x, a_x = adc.scan_cell_major(*args, approx=False, impl="xla", **kw)
+    v_p, a_p = adc.scan_cell_major(*args, approx=True, impl="pallas",
+                                   interpret=True, **kw)
+    a_x, a_p = np.asarray(a_x), np.asarray(a_p)
+    recall = np.mean([len(set(a_p[i]) & set(a_x[i])) / k
+                      for i in range(nq)])
+    assert recall >= 0.9, f"approx pallas recall {recall}"
+    # values of agreeing addresses match up to pack32 truncation
+    v_p, v_x = np.asarray(v_p), np.asarray(v_x)
+    for i in range(nq):
+        common = set(a_p[i]) & set(a_x[i]) - {-1}
+        for a in common:
+            vx = v_x[i][a_x[i] == a][0]
+            vp = v_p[i][a_p[i] == a][0]
+            assert abs(vp - vx) <= max(1e-2, 2e-3 * abs(vx)), (i, a, vp, vx)
+
+
+def test_k_pair_cap_large_k(rng):
+    """Approx mode caps the per-pair candidate count for large k; recall
+    against the exact scan must survive the cap."""
+    index = _scan_setup(rng, n=3000)
+    nq, n_probe, k = 16, 8, 64
+    q = jnp.asarray(rng.normal(size=(nq, 32)).astype(np.float32))
+    _, cells, mask = _coarse_probe(
+        q, index.vq_codec.kmeans._centroids[0], jnp.float32(30.0),
+        n_probe=n_probe, use_smart=False, precision=None)
+    args = (q, cells, mask, index.aux("decoded"), index.aux("norm")[:, 0],
+            index._is_empty, index._cell_start, index._cell_capacity)
+    kw = dict(k=k, distance="euclidean", s_max=index.max_cell_capacity,
+              n_cells=8)
+    v_x, a_x = adc.scan_cell_major(*args, approx=False, impl="xla", **kw)
+    # default policy caps k_pair at max(16, 4*ceil(64/8)) = 32 < k
+    v_c, a_c = adc.scan_cell_major(*args, approx=True, impl="xla", **kw)
+    a_x, a_c = np.asarray(a_x), np.asarray(a_c)
+    recall = np.mean([len(set(a_c[i]) & set(a_x[i])) / k
+                      for i in range(nq)])
+    assert recall >= 0.9, f"k_pair-capped recall {recall}"

@@ -244,11 +244,12 @@ def _sortable_i32_f32(key):
     jax.jit,
     static_argnames=("k", "distance", "s_max", "n_cells", "p_tile",
                      "block_chunk", "approx", "impl", "interpret", "group",
-                     "precision"))
+                     "precision", "k_pair"))
 def scan_cell_major(query, cells, probe_mask, decoded, norms, is_empty,
                     cell_start, cell_capacity, *, k, distance, s_max, n_cells,
                     p_tile=128, block_chunk=8, approx=False, impl="xla",
-                    interpret=False, group=1, scales=None, precision=None):
+                    interpret=False, group=1, scales=None, precision=None,
+                    k_pair=None):
     """Inverted-probe-list grouped-matmul scan.
 
     Probed (query, cell) pairs are sorted by cell and packed into blocks of up
@@ -300,7 +301,20 @@ def scan_cell_major(query, cells, probe_mask, decoded, norms, is_empty,
         n_cells = n_super
         s_max = min(s_max * group, cap_total_)
 
-    k_pair = min(k, s_max, decoded.shape[0])
+    # Per-pair candidate count. Exact mode needs k_pair = k (one cell may
+    # hold every winner). Approx mode caps it: the expected winners per
+    # probed cell is k / n_probe, so carrying a 4x oversample (floor 16)
+    # through the unsort/merge keeps recall while shrinking the merge
+    # payload by up to k/16 — this is what makes large-k probed searches
+    # viable (the reference's streaming in-kernel merge never materializes
+    # per-pair lists at all, ivfpq_topk.cu:763-931; this is the TPU-shaped
+    # equivalent economy).
+    if k_pair is None:
+        if approx and k > 16:
+            k_pair = min(k, max(16, 4 * util.cdiv(k, n_probe)))
+        else:
+            k_pair = k
+    k_pair = min(k_pair, k, s_max, decoded.shape[0])
     # static block budget: sum_c ceil(P_c / p_tile) <= distinct_cells + P/p_tile
     b_max = min(n_cells, n_pairs) + util.cdiv(n_pairs, p_tile)
     b_max = util.round_up(b_max, block_chunk)
@@ -378,29 +392,35 @@ def scan_cell_major(query, cells, probe_mask, decoded, norms, is_empty,
     # query; both impls skip it in the hot loop and the final merge applies
     # it to the k winners.
 
-    from .pallas_scan import PALLAS_QUERY_VMEM_BYTES
-    use_pallas = (
-        impl == "pallas" and distance != "manhattan" and k_pair <= 16
-        and not int8_cache
-        # f32 query table must fit the kernel's VMEM budget
-        and nq * d * 4 <= PALLAS_QUERY_VMEM_BYTES)
-    if impl == "pallas" and not use_pallas:
-        import warnings
-        warnings.warn(
-            "scan_cell_major: impl='pallas' requested but the kernel gate "
-            f"fails (k_pair={k_pair}<=16? dist={distance}!=manhattan? "
-            f"int8={int8_cache}? query table {nq * d * 4} <= "
-            f"{PALLAS_QUERY_VMEM_BYTES}B?) — falling back to XLA",
-            stacklevel=2)
-
     # pack32: one int32 per candidate (truncated sortable value | slot)
     # instead of (key, addr) pairs — halves the unsort-gather payload. The
     # value loses log2(s_pow2) mantissa bits, well below bf16 scoring noise;
     # only engaged in approx mode (exact mode keeps bit-exact values).
     s_pow2 = util.next_pow2(s_eff)
-    pack32 = approx and not use_pallas and s_pow2 <= 4096
+    pack32 = approx and s_pow2 <= 4096
     slot_mask = s_pow2 - 1
     key_neg_big = _f32_sortable_i32(-big) & jnp.int32(~slot_mask)
+
+    from .pallas_scan import PALLAS_WINDOW_VMEM_BYTES
+    use_pallas = (
+        impl == "pallas" and distance != "manhattan" and not int8_cache
+        and k_pair <= 32
+        # the double-buffered candidate windows must fit VMEM
+        and 2 * s_eff * d_dec * decoded.dtype.itemsize
+        <= PALLAS_WINDOW_VMEM_BYTES
+        # the approx kernel's strided group reduce + pack32 wire format
+        # need a pow2 window
+        and (not approx or (pack32 and s_pow2 == s_eff)))
+    if impl == "pallas" and not use_pallas:
+        import warnings
+        warnings.warn(
+            "scan_cell_major: impl='pallas' requested but the kernel gate "
+            f"fails (k_pair={k_pair}<=32? dist={distance}!=manhattan? "
+            f"int8={int8_cache}? window 2*{s_eff}*{d_dec}*"
+            f"{decoded.dtype.itemsize} <= {PALLAS_WINDOW_VMEM_BYTES}B? "
+            f"approx needs pow2 s_eff<=4096, got {s_eff}) — falling back "
+            "to XLA", stacklevel=2)
+
     if use_pallas:
         from .pallas_scan import scan_blocks_pallas
 
@@ -422,10 +442,15 @@ def scan_cell_major(query, cells, probe_mask, decoded, norms, is_empty,
             (start_c_all.reshape(nbc, block_chunk),
              off_all.reshape(nbc, block_chunk),
              cap_all.reshape(nbc, block_chunk))).reshape(b_max, s_eff)
+        # pre-gather the per-block query tiles in XLA (small-table row
+        # gather, ~100 GB/s) in the matmul dtype — the kernel streams them
+        # through its BlockSpec pipeline
+        qvecs_p = query_q[qidx_all].astype(
+            decoded.dtype if decoded.dtype == jnp.bfloat16 else query.dtype)
         combo = scan_blocks_pallas(
-            query, qidx_all, start_c_all, pen_all, decoded,
+            qvecs_p, start_c_all, pen_all, decoded,
             s_eff=s_eff, k_pair=k_pair, p_tile=p_tile, distance=distance,
-            interpret=interpret)
+            approx=pack32, slot_mask=slot_mask, interpret=interpret)
     else:
         qvecs_all = query_q[qidx_all].astype(
             mm_dtype if distance != "manhattan" else query.dtype)  # [B,p,d]

@@ -161,8 +161,8 @@ def flat_scan_pallas(query, decoded, penalty, *, r_keep=16, w=2048,
         in_specs=[
             pl.BlockSpec((q_tile, d), lambda g: (g, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
             pl.BlockSpec((q_tile, r_keep), lambda g: (g, 0),

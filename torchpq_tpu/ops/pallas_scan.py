@@ -11,19 +11,30 @@ reads measure ~26 GB/s. The kernel:
     bandwidth, overlapped with compute); windows are contiguous because
     cells are contiguous segments, and 16-aligned by the container's pow2
     capacity invariant,
+  * streams the per-block query tile [p_tile, d] through the BlockSpec
+    pipeline (pre-gathered by XLA, where a small-table row gather runs at
+    ~100 GB/s — measured far faster than a per-row in-kernel gather loop),
   * scores the block with one MXU matmul (bf16 x bf16 -> f32) minus a
     per-slot penalty row (norms + all validity masking, precomputed by the
     caller — 4 B/slot, cheap to stage in XLA),
-  * selects the per-prober top-k in VMEM with k unrolled max passes
-    (k is small; a sort would be the TPU anti-pattern),
-  * writes (order-preserving int32 key, address) pairs, packed exactly like
-    the XLA path so the caller's unsort/merge is shared.
+  * selects the per-prober top-k in VMEM: approx mode first reduces
+    [p, s] -> [p, G] with strided group maxima (the approx_max_k recipe —
+    one winner per group, groups interleaved so the reduce is G-wide
+    vector max ops, never a lane-hostile reshape), then runs k unrolled
+    max passes on the G-wide remainder; exact mode runs the k passes on
+    the full [p, s] scores,
+  * writes results in the exact wire format the XLA merge consumes:
+    approx -> pack32 (order-preserving value bits | in-window slot, ONE
+    int32 per candidate), exact -> (order-preserving int32 key, address)
+    pairs. The caller's unsort/merge is shared with the XLA path.
 
 The per-query -|q|^2 term (euclidean true-value correction) is rank-
 invariant per query and applied by the caller after the final merge.
 
-Numerics match ops/adc.scan_cell_major's exact branch (interpret-mode
-parity test in tests/test_pallas_scan.py).
+Numerics: the exact branch matches ops/adc.scan_cell_major's XLA exact
+branch bit-for-bit (interpret-mode parity test in tests/test_pallas_scan.py);
+the approx branch implements the same group-reduction semantics as
+jax.lax.approx_max_k (per-pair recall ~0.95 at G=128, s=512, k<=16).
 """
 
 import functools
@@ -38,10 +49,59 @@ from jax.experimental.pallas import tpu as pltpu
 # XLA path's decoder (adc._sortable_i32_f32) — one definition only
 from .adc import _f32_sortable_i32  # noqa: E402
 
+# candidate double-buffer budget: 2 windows of [s_eff, d] must fit VMEM
+# next to the pipelined query tile and output block
+PALLAS_WINDOW_VMEM_BYTES = 10 * 1024 * 1024
 
-def _make_kernel(s_eff, k_pair, p_tile, d, n_rows, euclidean, big):
-    def kernel(start_ref, probers_ref, pen_ref, queries_ref, decoded,
-               out_ref, cand_buf, q_buf, sems):
+
+def _select_topk(scores, k_pair, width, big, start, slot_mask, pack32,
+                 rbest=None, n_groups=None):
+    """k_pair unrolled max passes over [p, width] scores.
+
+    Returns the output row block: pack32 -> [p, k_pair] int32 packed
+    (key-bits | slot); exact -> [p, 2*k_pair] int32 (keys ++ addresses).
+    `rbest` ([p, width] int32) maps a winning column back to its strided
+    group member: slot = rbest * n_groups + column.
+    """
+    p = scores.shape[0]
+    iota2 = jax.lax.broadcasted_iota(jnp.int32, (p, width), 1)
+    key_neg_big = _f32_sortable_i32(jnp.float32(-big)) & jnp.int32(~slot_mask)
+    key_cols = []
+    addr_cols = []
+    pack_cols = []
+    s = scores
+    for _ in range(k_pair):
+        mx = jnp.max(s, axis=1, keepdims=True)            # [p, 1]
+        hit = s >= mx
+        idx = jnp.min(jnp.where(hit, iota2, width), axis=1,
+                      keepdims=True)                      # [p, 1] column
+        win = iota2 == idx
+        if rbest is not None:
+            rwin = jnp.sum(jnp.where(win, rbest, 0), axis=1, keepdims=True)
+            slot = rwin * n_groups + idx
+        else:
+            slot = idx
+        alive = mx > -big / 2
+        if pack32:
+            key = _f32_sortable_i32(mx)
+            packed = (key & jnp.int32(~slot_mask)) | slot
+            pack_cols.append(jnp.where(alive, packed, key_neg_big))
+        else:
+            vals = jnp.where(alive, mx, -jnp.inf)
+            key_cols.append(_f32_sortable_i32(vals))
+            addr_cols.append(jnp.where(alive, start + slot, -1))
+        s = jnp.where(win, -jnp.inf, s)
+    if pack32:
+        return jnp.concatenate(pack_cols, axis=1)
+    return jnp.concatenate(key_cols + addr_cols, axis=1)
+
+
+def _make_kernel(s_eff, k_pair, p_tile, d, euclidean, big, n_groups,
+                 slot_mask, pack32):
+    reduce_groups = n_groups < s_eff
+
+    def kernel(start_ref, qvecs_ref, pen_ref, decoded, out_ref, cand_buf,
+               sems):
         g = pl.program_id(0)
         n_g = pl.num_programs(0)
 
@@ -64,95 +124,98 @@ def _make_kernel(s_eff, k_pair, p_tile, d, n_rows, euclidean, big):
         def _():
             window_dma(nxt, g + 1).start()
 
-        # gather this block's query rows from the VMEM-resident table while
-        # the candidate-window DMA is in flight
-        def gather_row(i, _):
-            row = jnp.clip(probers_ref[0, 0, i], 0, n_rows - 1)
-            q_buf[i, :] = queries_ref[row, :]
-            return 0
-
-        jax.lax.fori_loop(0, p_tile, gather_row, 0)
-
         window_dma(slot, g).wait()
 
-        cand = cand_buf[slot]            # [s_eff, d]
-        # query table stays f32 in VMEM (bf16 single-row dynamic reads hit
-        # Mosaic's 16-sublane alignment); cast the gathered tile for the MXU
-        q = q_buf[...].astype(cand.dtype)  # [p_tile, d]
+        cand = cand_buf[slot]                    # [s_eff, d]
+        q = qvecs_ref[0].astype(cand.dtype)      # [p_tile, d] pipelined tile
         ab = jax.lax.dot_general(
             q, cand, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)  # [p, s]
         scores = (2.0 * ab if euclidean else ab) - pen_ref[0]  # [1, s] bcast
 
         start = start_ref[g]
-        iota2 = jax.lax.broadcasted_iota(jnp.int32, (p_tile, s_eff), 1)
-        key_cols = []
-        addr_cols = []
-        s = scores
-        for _ in range(k_pair):
-            mx = jnp.max(s, axis=1, keepdims=True)            # [p, 1]
-            hit = s >= mx
-            idx = jnp.min(jnp.where(hit, iota2, s_eff), axis=1,
-                          keepdims=True)                      # [p, 1]
-            alive = mx > -big / 2
-            vals = jnp.where(alive, mx, -jnp.inf)
-            key_cols.append(_f32_sortable_i32(vals))
-            addr_cols.append(jnp.where(alive, start + idx, -1))
-            s = jnp.where(iota2 == idx, -jnp.inf, s)
-        out_ref[0] = jnp.concatenate(key_cols + addr_cols, axis=1)
+        if reduce_groups:
+            # strided group reduction [p, s] -> [p, G]: group j holds slots
+            # {j, j+G, j+2G, ...} so every reduce step is a full-width
+            # vector max over a statically-sliced [p, G] block (contiguous
+            # grouping would need a lane-hostile [p, G, R] reshape)
+            n_r = s_eff // n_groups
+            best = scores[:, :n_groups]
+            rbest = jnp.zeros((p_tile, n_groups), jnp.int32)
+            for r in range(1, n_r):
+                blk = scores[:, r * n_groups:(r + 1) * n_groups]
+                upd = blk > best
+                best = jnp.where(upd, blk, best)
+                rbest = jnp.where(upd, r, rbest)
+            out_ref[0] = _select_topk(best, k_pair, n_groups, big, start,
+                                      slot_mask, pack32, rbest=rbest,
+                                      n_groups=n_groups)
+        else:
+            out_ref[0] = _select_topk(scores, k_pair, s_eff, big, start,
+                                      slot_mask, pack32)
 
     return kernel
 
 
-# queries table must fit in VMEM next to the window buffers
-PALLAS_QUERY_VMEM_BYTES = 6 * 1024 * 1024
-
-
 @functools.partial(
     jax.jit,
-    static_argnames=("s_eff", "k_pair", "p_tile", "distance", "interpret"))
-def scan_blocks_pallas(queries, probers, start_all, pen_all, decoded, *,
-                       s_eff, k_pair, p_tile, distance, interpret=False):
-    """Run the fused block scan. queries: [nq, d] (bf16 preferred; must fit
-    VMEM); probers: [B, p_tile] i32 query indices per block (-1 pads are
-    clipped — their outputs are dropped by the caller's unsort);
-    start_all: [B] i32 (pre-clamped in-bounds, 16-aligned);
-    pen_all: [B, s_eff] f32 (per-slot penalty incl. all validity masking);
+    static_argnames=("s_eff", "k_pair", "p_tile", "distance", "approx",
+                     "slot_mask", "interpret"))
+def scan_blocks_pallas(qvecs, start_all, pen_all, decoded, *, s_eff, k_pair,
+                       p_tile, distance, approx=False, slot_mask=0,
+                       interpret=False):
+    """Run the fused block scan.
+
+    qvecs: [B, p_tile, d] pre-gathered per-block query tiles (decoded's
+    dtype, typically bf16 — the gather is an XLA small-table row gather);
+    start_all: [B] i32 window starts (pre-clamped in-bounds, 16-aligned);
+    pen_all: [B, s_eff] f32 per-slot penalty incl. all validity masking;
     decoded: [cap, d].
-    Returns combo [B, p_tile, 2*k_pair] int32 (sortable keys | addresses)."""
+
+    Returns combo int32: approx -> [B, p_tile, k_pair] pack32 rows
+    (value-bits | slot, in-window slot, slot_mask wide); exact ->
+    [B, p_tile, 2*k_pair] (sortable keys ++ absolute addresses).
+    """
     b = start_all.shape[0]
-    nq, d = queries.shape
+    _, _, d = qvecs.shape
     big = float(jnp.finfo(jnp.float32).max / 4)
     euclidean = distance == "euclidean"
+    if approx:
+        # approx_max_k-style reduction: one winner per strided group. G=128
+        # keeps the k select passes on one [p, 128] vreg-tile row; only
+        # engage when it actually shrinks the pass width.
+        n_groups = 128 if s_eff >= 256 else s_eff
+        assert s_eff % n_groups == 0, "approx kernel needs pow2 s_eff"
+    else:
+        n_groups = s_eff
+    out_w = k_pair if approx else 2 * k_pair
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b,),
         in_specs=[
-            pl.BlockSpec((1, 1, p_tile), lambda g, *_: (g, 0, 0),
-                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, p_tile, d), lambda g, *_: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, s_eff), lambda g, *_: (g, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((1, p_tile, 2 * k_pair),
+        out_specs=pl.BlockSpec((1, p_tile, out_w),
                                lambda g, *_: (g, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2, s_eff, d), decoded.dtype),
-            pltpu.VMEM((p_tile, d), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
 
-    kernel = _make_kernel(s_eff, k_pair, p_tile, d, nq, euclidean, big)
+    kernel = _make_kernel(s_eff, k_pair, p_tile, d, euclidean, big,
+                          n_groups, slot_mask, approx)
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((b, p_tile, 2 * k_pair), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((b, p_tile, out_w), jnp.int32),
         grid_spec=grid_spec,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=int(100e6)),
-    )(start_all.astype(jnp.int32), probers.astype(jnp.int32)[:, None, :],
-      pen_all[:, None, :], queries.astype(jnp.float32), decoded)
+    )(start_all.astype(jnp.int32), qvecs, pen_all[:, None, :], decoded)
