@@ -70,6 +70,29 @@ def make_data(n_base, n_query, d, seed=0, n_centers=1000, intrinsic=8,
         with np.load(path) as f:
             return f["base"], f["query"]
     rng = np.random.default_rng(seed)
+    if spectrum.startswith("manifold"):
+        # Global low-intrinsic-dimension manifold (SIFT's intrinsic dim is
+        # ~12-16): x = z W + eps with z ~ N(0, I_di). k-means cells carve
+        # the latent gaussian, and in d_int ~ 16 the NN radius is comparable
+        # to the cell size, so a query's true neighbor routinely lives in
+        # its 2nd..100th nearest cell — the recall-vs-n_probe axis then
+        # climbs gradually (SIFT1M: 0.43 -> 0.80 -> 0.95 -> 0.995 at
+        # n_probe 1/8/32/128) instead of saturating at n_probe=8 the way
+        # tight-cluster data does. Cross-dim correlation through W also
+        # keeps the data PQ-friendly like real descriptors.
+        d_int = int(spectrum.split("-")[1]) if "-" in spectrum else 16
+        w = rng.normal(size=(d_int, d)).astype(np.float32) / np.sqrt(d_int)
+
+        def msample(n):
+            z = rng.normal(size=(n, d_int)).astype(np.float32)
+            out = z @ w
+            out += 0.02 * rng.normal(size=(n, d)).astype(np.float32)
+            return out
+
+        base, query = msample(n_base), msample(n_query)
+        if cache:
+            np.savez(path, base=base, query=query)
+        return base, query
     centers = rng.normal(size=(n_centers, d)).astype(np.float32)
     bases = rng.normal(size=(n_centers, intrinsic, d)).astype(np.float32)
     bases /= np.linalg.norm(bases, axis=-1, keepdims=True)

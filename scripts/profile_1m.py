@@ -120,23 +120,36 @@ def impl_compare():
                 index._cell_start, index._cell_capacity)
         kw = dict(k=10, distance="euclidean",
                   s_max=index.max_cell_capacity, n_cells=n_cells)
-        for impl, approx in [("xla", True), ("pallas", False)]:
-            for pt in (128, 256):
-                try:
-                    f = lambda: adc.scan_cell_major(
-                        *args, p_tile=pt, approx=approx, impl=impl, **kw)
-                    dt = timeit(f)
-                    print(f"np={n_probe} impl={impl} p_tile={pt}: "
-                          f"{dt:.1f} ms -> {nq / dt * 1e3:,.0f} q/s",
-                          flush=True)
-                except Exception as e:
-                    print(f"np={n_probe} impl={impl} pt={pt} FAIL "
-                          f"{type(e).__name__}: {str(e)[:200]}", flush=True)
-        # agreement check
+        for k in (10, 100):
+            kw = dict(k=k, distance="euclidean",
+                      s_max=index.max_cell_capacity, n_cells=n_cells)
+            for impl, approx in [("xla", True), ("pallas", True),
+                                 ("pallas", False)]:
+                for pt in (128, 256):
+                    try:
+                        f = lambda: adc.scan_cell_major(
+                            *args, p_tile=pt, approx=approx, impl=impl, **kw)
+                        dt = timeit(f)
+                        print(f"np={n_probe} k={k} impl={impl} approx="
+                              f"{approx} p_tile={pt}: {dt:.1f} ms -> "
+                              f"{nq / dt * 1e3:,.0f} q/s", flush=True)
+                    except Exception as e:
+                        print(f"np={n_probe} k={k} impl={impl} approx="
+                              f"{approx} pt={pt} FAIL {type(e).__name__}: "
+                              f"{str(e)[:200]}", flush=True)
+        # agreement + approx-recall checks at k=10
+        kw = dict(k=10, distance="euclidean",
+                  s_max=index.max_cell_capacity, n_cells=n_cells)
         v1, a1 = adc.scan_cell_major(*args, impl="xla", approx=False, **kw)
         v2, a2 = adc.scan_cell_major(*args, impl="pallas", approx=False, **kw)
         agree = float((np.asarray(a1) == np.asarray(a2)).mean())
-        print(f"np={n_probe} xla/pallas address agreement: {agree:.4f}",
+        print(f"np={n_probe} xla/pallas exact address agreement: {agree:.4f}",
+              flush=True)
+        _, a3 = adc.scan_cell_major(*args, impl="pallas", approx=True, **kw)
+        a1n, a3n = np.asarray(a1), np.asarray(a3)
+        rec = np.mean([len(set(a3n[i]) & set(a1n[i])) / 10
+                       for i in range(nq)])
+        print(f"np={n_probe} pallas-approx recall vs exact: {rec:.4f}",
               flush=True)
 
 

@@ -1,0 +1,104 @@
+"""scan_cache_dtype='none': the code-domain (one-hot matmul) scan path.
+
+The index keeps NO decoded cache — scans read the canonical uint8 codes
+(ops/onehot_adc.py). Scores must agree with the LUT-gather oracle / decoded
+scan up to bf16 LUT rounding; memory must actually shrink to codes + norms.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from torchpq_tpu.index import IVFPQIndex
+from torchpq_tpu.index.ivfpq import _coarse_probe
+from torchpq_tpu.ops import adc
+from torchpq_tpu.ops.onehot_adc import scan_cell_major_codes
+
+
+def _built(rng, n=1500, d=32, m=8, n_cells=8, cache="float32",
+           distance="euclidean"):
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    index = IVFPQIndex(d_vector=d, n_subvectors=m, n_cells=n_cells,
+                       distance=distance, scan_cache_dtype=cache,
+                       initial_size=64)
+    index.train(jnp.asarray(x.T))
+    index.add(jnp.asarray(x.T))
+    return index, x
+
+
+@pytest.mark.parametrize("distance", ["euclidean", "inner", "manhattan"])
+def test_code_scan_matches_decoded_scan(rng, distance):
+    index, x = _built(rng, distance=distance)
+    nq, n_probe, k = 16, 4, 8
+    q = jnp.asarray(rng.normal(size=(nq, 32)).astype(np.float32))
+    _, cells, mask = _coarse_probe(
+        q, index.vq_codec.kmeans._centroids[0], jnp.float32(30.0),
+        n_probe=n_probe, use_smart=False, precision=None)
+    common = (q, cells, mask)
+    tail = (index.aux("norm")[:, 0], index._is_empty, index._cell_start,
+            index._cell_capacity)
+    kw = dict(k=k, distance=distance, s_max=index.max_cell_capacity,
+              n_cells=8)
+    v_d, a_d = adc.scan_cell_major(*common, index.aux("decoded"), *tail,
+                                   approx=False, **kw)
+    v_c, a_c = scan_cell_major_codes(*common, index._storage, *tail,
+                                     index.pq_codec.codebook_internal,
+                                     approx=False, **kw)
+    a_d, a_c = np.asarray(a_d), np.asarray(a_c)
+    # bf16 LUT rounding can flip near-ties; demand near-total agreement
+    overlap = np.mean([len(set(a_c[i]) & set(a_d[i])) / k
+                       for i in range(nq)])
+    assert overlap >= 0.95, f"code-domain overlap {overlap}"
+    v_d, v_c = np.asarray(v_d), np.asarray(v_c)
+    scale = max(1.0, float(np.abs(v_d[np.isfinite(v_d)]).max()))
+    for i in range(nq):
+        for a in set(a_c[i]) & set(a_d[i]) - {-1}:
+            dv = abs(v_c[i][a_c[i] == a][0] - v_d[i][a_d[i] == a][0])
+            assert dv <= 3e-2 * scale, (i, a, dv)
+
+
+def test_code_domain_index_end_to_end(rng):
+    index, x = _built(rng, cache="none")
+    assert "decoded" not in index._aux
+    assert not index._int8_cache
+    index.n_probe = 8
+    ids = np.arange(len(x))
+    _, got = index.search(jnp.asarray(x[:64].T), k=1)
+    hit = (np.asarray(got)[:, 0] == ids[:64]).mean()
+    assert hit >= 0.95, f"code-domain self-recall {hit}"
+    # flat one-hot sweep agrees
+    index.scan_mode = "flat"
+    _, got_f = index.search(jnp.asarray(x[:64].T), k=1)
+    hit_f = (np.asarray(got_f)[:, 0] == ids[:64]).mean()
+    assert hit_f >= 0.95, f"flat code-domain self-recall {hit_f}"
+    # rescoring extras work without a cache
+    sims = index.similarity_at_id(jnp.asarray(x[:4].T), ids[:4])
+    assert np.isfinite(np.asarray(sims)).all()
+
+
+def test_code_domain_relayout_and_saveload(rng, tmp_path):
+    d, n = 32, 1200
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    index = IVFPQIndex(d_vector=d, n_subvectors=8, n_cells=8,
+                       scan_cache_dtype="none", initial_size=16)
+    index.train(jnp.asarray(x.T[:, :600]))
+    cap0 = index.capacity
+    ids = np.asarray(index.add(jnp.asarray(x.T)))
+    assert index.capacity > cap0, "must exercise the norm-only rebuilder"
+    # norms rebuilt from codes: spot-check live rows
+    live = np.flatnonzero(~np.asarray(index._is_empty))[:128]
+    dec = np.asarray(index.pq_codec.decode_nd(index._storage[live]))
+    np.testing.assert_allclose(
+        np.asarray(index.aux("norm")[live, 0]),
+        (dec ** 2).sum(-1), rtol=1e-4, atol=1e-4)
+    index.n_probe = 8
+    _, got = index.search(jnp.asarray(x[:32].T), k=1)
+    assert (np.asarray(got)[:, 0] == ids[:32]).mean() == 1.0
+    path = str(tmp_path / "code_domain_idx")
+    index.save(path)
+    index2 = IVFPQIndex(d_vector=d, n_subvectors=8, n_cells=8,
+                        scan_cache_dtype="none", initial_size=16)
+    index2.load(path)
+    index2.n_probe = 8
+    _, got2 = index2.search(jnp.asarray(x[:32].T), k=1)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(got2))

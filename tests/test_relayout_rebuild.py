@@ -54,7 +54,10 @@ def test_expand_rebuilds_scan_cache(rng, residual, cache):
     assert np.asarray(got)[:, 0].tolist() == ids[:16].tolist()
 
 
-def test_expand_rebuilds_rerank_cache(rng):
+def test_expand_preserves_rerank_codes(rng):
+    """IVFPQR keeps no decoded_full cache (rerank decodes candidates from
+    codes on the fly); a relayout must preserve the rerank codes row store
+    and the two-stage search must still be exact on its own points."""
     d, n = 32, 1000
     x = rng.standard_normal((d, n)).astype(np.float32)
     index = IVFPQRIndex(d_vector=d, n_subvectors=8, n_subvectors_rerank=16,
@@ -64,14 +67,19 @@ def test_expand_rebuilds_rerank_cache(rng):
     ids = np.asarray(index.add(jnp.asarray(x)))
     assert index.capacity > cap0
     _check_decoded_cache(index, residual=False)
+    assert "decoded_full" not in index._aux  # memory contract: codes only
+    # rerank codes moved with their rows: re-encoding the stored rows'
+    # second-stage residual reproduces the aux store
     live = np.flatnonzero(~np.asarray(index._is_empty))
-    codes = np.asarray(index._storage)[live]
-    rcodes = np.asarray(index.aux("rerank_codes"))[live]
-    dec_full = (np.asarray(index.pq_codec.decode_nd(jnp.asarray(codes)))
-                + np.asarray(index.rerank_codec.decode_nd(
-                    jnp.asarray(rcodes))))
-    cache = np.asarray(index.aux("decoded_full"))[live].astype(np.float32)
-    np.testing.assert_allclose(cache, dec_full, rtol=0.02, atol=0.02)
+    addr = jnp.asarray(live[:64])
+    ids_at = np.asarray(index.get_id_by_address(addr))
+    orig = x.T[ids_at]  # [64, d] original vectors for those rows
+    codes = index._storage[addr]
+    dec1 = np.asarray(index.pq_codec.decode_nd(codes))
+    expect_r = np.asarray(index.rerank_codec.encode_nd(
+        jnp.asarray(orig - dec1)))
+    got_r = np.asarray(index.aux("rerank_codes")[addr])
+    np.testing.assert_array_equal(got_r, expect_r)
     index.n_probe = 8
     _, got = index.search(jnp.asarray(x[:, :16]), k=1)
     assert np.asarray(got)[:, 0].tolist() == ids[:16].tolist()

@@ -24,14 +24,24 @@ class IVFPQTopk:
 
     def topk(self, query, cells, probe_mask, decoded, norms, is_empty,
              cell_start, cell_capacity, *, k, distance, s_max, scales=None,
-             mode=None, approx=None, impl="xla", group=1, precision=None):
+             mode=None, approx=None, impl="xla", group=1, precision=None,
+             pq_codebook=None):
         """Returns (values [nq, k] f32, addresses [nq, k] i32; -1 padding).
         mode/approx default to the instance settings; impl/group/precision
-        pass through to the cell-major scan."""
+        pass through to the cell-major scan. When `decoded` is the raw uint8
+        codes (scan_cache_dtype='none'), pass `pq_codebook` to route through
+        the one-hot code-domain scan."""
         nq = query.shape[0]
         mode = mode or self.mode
         assert mode in ("auto", "query_major", "cell_major", "flat"), mode
         approx = self.approx if approx is None else approx
+        if pq_codebook is not None:
+            from ..ops.onehot_adc import scan_cell_major_codes
+            return scan_cell_major_codes(
+                query, cells, probe_mask, decoded, norms, is_empty,
+                cell_start, cell_capacity, pq_codebook, k=k,
+                distance=distance, s_max=s_max, n_cells=self.n_cells,
+                p_tile=self.p_tile, approx=approx, precision=precision)
         if mode in ("auto", "flat"):
             mode = "query_major" if nq < self.batch_threshold else "cell_major"
         if scales is not None:

@@ -117,6 +117,58 @@ def _write_rows(out, block, c0):
     return jax.lax.dynamic_update_slice(out, block, (c0, 0))
 
 
+@functools.partial(jax.jit, static_argnames=("n_pad",))
+def _compact_codes_cache(codes, norms, is_empty, *, n_pad):
+    """Code-domain flavor of _compact_flat_cache: squeeze the uint8 codes
+    + norms down to live rows for the flat one-hot sweep."""
+    addr_map = jnp.nonzero(~is_empty, size=n_pad, fill_value=-1)[0] \
+        .astype(jnp.int32)
+    valid = addr_map >= 0
+    safe = jnp.maximum(addr_map, 0)
+    return codes[safe], norms[safe], ~valid, addr_map
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "distance", "approx", "precision"))
+def _search_flat_codes(q, codes, norms, is_empty, addr_map, address2id,
+                       codebook, *, k, distance, approx, precision=None):
+    """Flat-mode query path over raw codes (scan_cache_dtype='none'):
+    exhaustive one-hot MXU sweep + address translation."""
+    from ..ops.onehot_adc import flat_onehot_scan
+    big = jnp.float32(jnp.finfo(jnp.float32).max / 4)
+    penalty = jnp.where(is_empty, big,
+                        norms if distance == "euclidean" else 0.0)
+    vals, addr = flat_onehot_scan(q, codes, penalty, codebook, k=k,
+                                  distance=distance, approx=approx,
+                                  precision=precision)
+    if addr_map is not None:
+        addr = jnp.where(addr >= 0, addr_map[jnp.maximum(addr, 0)], -1)
+    ids = jnp.where(addr >= 0, address2id[jnp.maximum(addr, 0)], -1)
+    return vals, ids, addr
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "n_probe", "use_smart", "precision", "distance",
+                     "s_max", "n_cells", "approx"))
+def _search_full_codes(q, coarse_codebook, codes, norms, is_empty,
+                       cell_start, cell_capacity, address2id, pq_codebook,
+                       temperature, *, k, n_probe, use_smart, precision,
+                       distance, s_max, n_cells, approx):
+    """Fused code-domain query path: coarse + probe + one-hot cell-major
+    scan + id translation (scan_cache_dtype='none')."""
+    from ..ops.onehot_adc import scan_cell_major_codes
+    _, cells, mask = _coarse_probe(
+        q, coarse_codebook, temperature, n_probe=n_probe,
+        use_smart=use_smart, precision=precision, approx=approx)
+    vals, addr = scan_cell_major_codes(
+        q, cells, mask, codes, norms, is_empty, cell_start, cell_capacity,
+        pq_codebook, k=k, distance=distance, s_max=s_max, n_cells=n_cells,
+        approx=approx, precision=precision)
+    ids = jnp.where(addr >= 0, address2id[jnp.maximum(addr, 0)], -1)
+    return vals, ids, addr
+
+
 @functools.partial(
     jax.jit, static_argnames=("k", "distance", "approx", "impl", "precision"))
 def _search_flat(q, decoded, norms, is_empty, addr_map, address2id, *,
@@ -213,9 +265,19 @@ class IVFPQIndex(CellContainer):
         self.scan_group = 1
 
         cache_dtype = scan_cache_dtype or config.SCAN_CACHE_DTYPE
-        self.add_aux_store("decoded", d_vector, cache_dtype)
+        # scan_cache_dtype="none": keep NO decoded cache — scans read the
+        # canonical uint8 codes via the one-hot matmul path
+        # (ops/onehot_adc.py). m B/slot of scan memory (the reference's
+        # exact contract) + 4 B/slot norms, at ~m*256/d x the scoring FLOPs.
+        self._code_domain = str(cache_dtype) == "none"
+        assert not (self._code_domain and pq_use_residual), \
+            "scan_cache_dtype='none' does not support pq_use_residual yet " \
+            "(the per-cell centroid term is not in the code LUT)"
+        if not self._code_domain:
+            self.add_aux_store("decoded", d_vector, cache_dtype)
         self.add_aux_store("norm", 1, "float32")
-        self._int8_cache = str(cache_dtype) == "int8"
+        self._int8_cache = (not self._code_domain
+                            and str(cache_dtype) == "int8")
         assert not (self._int8_cache and self.distance == "manhattan"), \
             "int8 scan cache does not support manhattan distance"
         if self._int8_cache:
@@ -236,9 +298,13 @@ class IVFPQIndex(CellContainer):
         self._flat_cache = None
         # the scan caches are derived from the codes: relayout drops and
         # recomputes them instead of gathering (halves its peak memory)
-        self.set_aux_rebuilder(
-            ("decoded", "norm") + (("scale",) if self._int8_cache else ()),
-            self._rebuild_scan_cache)
+        if self._code_domain:
+            self.set_aux_rebuilder(("norm",), self._rebuild_scan_cache)
+        else:
+            self.set_aux_rebuilder(
+                ("decoded", "norm")
+                + (("scale",) if self._int8_cache else ()),
+                self._rebuild_scan_cache)
 
     def _rebuild_scan_cache(self):
         """Recompute decoded/norm(/scale) from the canonical codes in
@@ -246,11 +312,12 @@ class IVFPQIndex(CellContainer):
         slots decode to garbage instead of zeros; every consumer masks by
         is_empty, so that is unobservable."""
         cap, d = self._capacity, self.d_vector
-        dec_dt = self._aux["decoded"][1]
+        dec_dt = (jnp.float32 if self._code_domain
+                  else self._aux["decoded"][1])
         chunk = min(cap, util.next_pow2(max(16384, (1 << 27) // max(d, 1))))
         vq_rows = (self.vq_codec.kmeans._centroids[0]
                    if self.pq_use_residual else None)
-        dec = jnp.zeros((cap, d), dec_dt)
+        dec = (None if self._code_domain else jnp.zeros((cap, d), dec_dt))
         nrm = jnp.zeros((cap, 1), jnp.float32)
         sc = jnp.zeros((cap, 1), jnp.float32) if self._int8_cache else None
         for i in range(util.cdiv(cap, chunk)):
@@ -260,10 +327,13 @@ class IVFPQIndex(CellContainer):
                 self.pq_codec.codebook_internal, vq_rows, c0, chunk=chunk,
                 int8=self._int8_cache, out_dtype=dec_dt,
                 residual=self.pq_use_residual)
-            dec = _write_rows(dec, db, c0)
+            if dec is not None:
+                dec = _write_rows(dec, db, c0)
             nrm = _write_rows(nrm, nb, c0)
             if sb is not None:
                 sc = _write_rows(sc, sb, c0)
+        if self._code_domain:
+            return {"norm": nrm}
         out = {"decoded": dec, "norm": nrm}
         if self._int8_cache:
             out["scale"] = sc
@@ -447,7 +517,9 @@ class IVFPQIndex(CellContainer):
             decoded = self.pq_codec.decode_nd(codes_nm)
         norms = jnp.sum(jnp.square(decoded), axis=-1, keepdims=True)
         aux_rows = {"norm": norms}
-        if self._int8_cache:
+        if self._code_domain:
+            pass  # codes ARE the scan data; nothing cached beyond norms
+        elif self._int8_cache:
             q, scale = util.int8_quantize_rows(decoded)
             aux_rows["decoded"] = q
             aux_rows["scale"] = scale[:, None]
@@ -475,17 +547,39 @@ class IVFPQIndex(CellContainer):
                      else jax.lax.Precision.HIGHEST)
         vals, addr = self._ivfpq_topk.topk(
             q, cells, probe_mask,
-            self.aux("decoded"), self.aux("norm")[:, 0], self._is_empty,
+            self._storage if self._code_domain else self.aux("decoded"),
+            self.aux("norm")[:, 0], self._is_empty,
             self._cell_start, self._cell_capacity,
             k=int(k), distance=self.distance, s_max=self.max_cell_capacity,
             scales=self.aux("scale")[:, 0] if self._int8_cache else None,
             mode=self.scan_mode, approx=self._use_approx_topk,
-            impl=self.scan_impl, group=self.scan_group, precision=precision)
+            impl=self.scan_impl, group=self.scan_group, precision=precision,
+            pq_codebook=(self.pq_codec.codebook_internal
+                         if self._code_domain else None))
         ids = self.get_id_by_address(addr)
         ids = jnp.where(addr >= 0, ids, -1)
         if return_address:
             return vals, ids, addr
         return vals, ids
+
+    def _flat_compacted_codes(self):
+        """(codes, norms, is_empty, addr_map) with dead slots squeezed out —
+        the code-domain flat sweep's input (scan_cache_dtype='none')."""
+        ver = self._mutations
+        if (self._flat_cache is not None and self._flat_cache[0] == ver):
+            return self._flat_cache[1]
+        n = max(int(self.n_items), 1)
+        unit = 131072 if n > 131072 else 2048
+        n_pad = util.round_up(n, unit)
+        if n_pad >= self.capacity:
+            res = (self._storage, self.aux("norm")[:, 0], self._is_empty,
+                   None)
+        else:
+            res = _compact_codes_cache(
+                self._storage, self.aux("norm")[:, 0], self._is_empty,
+                n_pad=n_pad)
+        self._flat_cache = (ver, res)
+        return res
 
     def _flat_compacted(self):
         """(decoded, norms, is_empty, addr_map, scales) for the flat sweep,
@@ -551,6 +645,32 @@ class IVFPQIndex(CellContainer):
                     and (int(k) <= 32 or self.d_vector >= 512)
                     and n_probe * s_pow2 * 128 >= max(int(self.n_items), 1)):
                 mode = "flat"
+        if self._code_domain:
+            # code domain serves two plans: the one-hot cell-major scan and
+            # the (explicitly requested) one-hot flat sweep. The decoded
+            # planner's flat crossover does not apply — the one-hot sweep's
+            # per-slot cost is ~m*256/d x the dense sweep's.
+            if mode == "flat":
+                codes_c, nrm_c, emp_c, amap_c = self._flat_compacted_codes()
+                vals, ids, addr = _search_flat_codes(
+                    q, codes_c, nrm_c, emp_c, amap_c, self._address2id,
+                    self.pq_codec.codebook_internal, k=int(k),
+                    distance=self.distance, approx=self._use_approx_topk,
+                    precision=precision)
+            else:
+                vals, ids, addr = _search_full_codes(
+                    q, self.vq_codec.kmeans._centroids[0], self._storage,
+                    self.aux("norm")[:, 0], self._is_empty,
+                    self._cell_start, self._cell_capacity,
+                    self._address2id, self.pq_codec.codebook_internal,
+                    jnp.float32(self._smart_probing_temperature),
+                    k=int(k), n_probe=n_probe,
+                    use_smart=self._use_smart_probing, precision=precision,
+                    distance=self.distance, s_max=self.max_cell_capacity,
+                    n_cells=self.n_cells, approx=self._use_approx_topk)
+            if return_address:
+                return vals, ids, addr
+            return vals, ids
         if self._int8_cache and mode != "flat":
             mode = "cell_major"  # int8 path lives in the cell-major scan
         if mode == "flat":
@@ -592,7 +712,11 @@ class IVFPQIndex(CellContainer):
         valid = (address >= 0) & (address < self._capacity)
         safe = jnp.where(valid, address, 0)
         valid = valid & ~self._is_empty[safe]
-        y = self.aux("decoded")[safe].astype(jnp.float32)
+        if self._code_domain:
+            # no cache: decode the few requested rows from their codes
+            y = self.pq_codec.decode_nd(self._storage[safe])
+        else:
+            y = self.aux("decoded")[safe].astype(jnp.float32)
         if self._int8_cache:
             y = y * self.aux("scale")[safe]
         y_sq = self.aux("norm")[safe, 0]

@@ -8,9 +8,13 @@ list — is implemented here:
 
 * rerank codes live in an aux row store next to the base codes (the reference
   planned code_size = m + m_rerank in one buffer, IVFPQRIndex.py:28-39);
-* the base scan uses the coarse (first-stage) decoded cache; re-ranking
-  rescores the top k * rerank_multiplier candidates against the full
-  two-stage reconstruction cache with one gather + batched matvec.
+* the base scan uses the index's normal scan machinery (any cache dtype —
+  bf16/f32/int8/'none');
+* re-ranking gathers the top k * rerank_multiplier candidates' base + rerank
+  CODES and decodes them on the fly (one small one-hot decode per query
+  batch), then rescores with a batched matvec. No second [cap, d] cache is
+  kept — storage overhead over plain IVFPQ is exactly the m_rerank bytes of
+  rerank codes per slot, the reference's intended contract.
 """
 
 import functools
@@ -20,41 +24,35 @@ import jax.numpy as jnp
 
 from .. import util
 from ..codec import PQCodec
+from ..codec.pq import _decode_nd
 from ..ops.adc import _block_scores
-from .ivfpq import IVFPQIndex, _write_rows
+from .ivfpq import IVFPQIndex
 
 
 @functools.partial(
-    jax.jit, static_argnames=("chunk", "out_dtype", "residual"))
-def _full_cache_chunk(storage, rerank_codes, cell_start, pq_codebook,
-                      rr_codebook, vq_rows, c0, *, chunk, out_dtype,
-                      residual):
-    """One [chunk, d] block of the two-stage reconstruction cache,
-    recomputed from the canonical base + rerank codes (relayout
-    rebuilder; see IVFPQIndex._rebuild_scan_cache)."""
-    from ..codec.pq import _decode_nd
-    m, _, dsub = pq_codebook.shape
-    mr, _, dsubr = rr_codebook.shape
-    codes = jax.lax.dynamic_slice(storage, (c0, 0), (chunk, storage.shape[1]))
-    rcodes = jax.lax.dynamic_slice(
-        rerank_codes, (c0, 0), (chunk, rerank_codes.shape[1]))
+    jax.jit, static_argnames=("k", "distance", "residual", "m", "dsub",
+                              "mr", "dsubr"))
+def _rerank_from_codes(q, cand_addr, storage, rerank_codes, cell_start,
+                       pq_codebook, rr_codebook, vq_rows, is_empty, *, k,
+                       distance, residual, m, dsub, mr, dsubr):
+    """Re-score candidates against their full two-stage reconstruction,
+    decoded on the fly from base + rerank codes (no decoded_full cache)."""
+    valid = cand_addr >= 0
+    safe = jnp.where(valid, cand_addr, 0)           # [nq, k']
+    nq, kp = cand_addr.shape
+    flat = safe.reshape(-1)
+    valid = valid & ~is_empty[safe]
+    codes = storage[flat]                           # [nq*k', m] uint8
+    rcodes = rerank_codes[flat]                     # [nq*k', mr] uint8
     dec = _decode_nd(codes, pq_codebook, m=m, dsub=dsub)
     if residual:
-        idx = c0 + jnp.arange(chunk)
-        cell = jnp.clip(jnp.searchsorted(cell_start, idx, side="right") - 1,
-                        0, cell_start.shape[0] - 1)
+        cell = jnp.clip(
+            jnp.searchsorted(cell_start, flat, side="right") - 1,
+            0, cell_start.shape[0] - 1)
         dec = dec + vq_rows[cell]
     dec = dec + _decode_nd(rcodes, rr_codebook, m=mr, dsub=dsubr)
-    nrm = jnp.sum(jnp.square(dec), axis=-1, keepdims=True)
-    return dec.astype(out_dtype), nrm
-
-
-@functools.partial(jax.jit, static_argnames=("k", "distance"))
-def _rerank(q, cand_addr, decoded_full, norm_full, *, k, distance):
-    valid = cand_addr >= 0
-    safe = jnp.where(valid, cand_addr, 0)
-    cand = decoded_full[safe]                       # [nq, k', d]
-    cand_sq = norm_full[safe]                       # [nq, k']
+    cand = dec.reshape(nq, kp, -1)
+    cand_sq = jnp.sum(jnp.square(dec), axis=-1).reshape(nq, kp)
     sims = _block_scores(q[:, None, :], cand, cand_sq, distance)[:, 0, :]
     sims = jnp.where(valid, sims, -jnp.inf)
     vals, idx = jax.lax.top_k(sims, min(k, sims.shape[-1]))
@@ -72,41 +70,10 @@ class IVFPQRIndex(IVFPQIndex):
         self.n_subvectors_rerank = n_subvectors_rerank
         self.rerank_multiplier = int(rerank_multiplier)
         self.add_aux_store("rerank_codes", n_subvectors_rerank, "uint8")
-        self.add_aux_store("decoded_full", d_vector,
-                           self._aux["decoded"][1])
-        self.add_aux_store("norm_full", 1, "float32")
         self.register_module("rerank_codec", PQCodec(
             d_vector=d_vector, n_subvectors=n_subvectors_rerank,
             n_clusters=256, distance=self.distance,
             verbose=kwargs.get("verbose", 0)))
-        assert not self._int8_cache, \
-            "IVFPQRIndex requires a float scan cache (the rerank stage " \
-            "scores against decoded_full directly)"
-        self.set_aux_rebuilder(
-            ("decoded", "norm", "decoded_full", "norm_full"),
-            self._rebuild_scan_cache)
-
-    def _rebuild_scan_cache(self):
-        out = super()._rebuild_scan_cache()
-        cap, d = self._capacity, self.d_vector
-        dec_dt = self._aux["decoded_full"][1]
-        chunk = min(cap, util.next_pow2(max(16384, (1 << 27) // max(d, 1))))
-        vq_rows = (self.vq_codec.kmeans._centroids[0]
-                   if self.pq_use_residual else None)
-        dec = jnp.zeros((cap, d), dec_dt)
-        nrm = jnp.zeros((cap, 1), jnp.float32)
-        for i in range(util.cdiv(cap, chunk)):
-            c0 = min(i * chunk, cap - chunk)
-            db, nb = _full_cache_chunk(
-                self._storage, self.aux("rerank_codes"), self._cell_start,
-                self.pq_codec.codebook_internal,
-                self.rerank_codec.codebook_internal, vq_rows, c0,
-                chunk=chunk, out_dtype=dec_dt, residual=self.pq_use_residual)
-            dec = _write_rows(dec, db, c0)
-            nrm = _write_rows(nrm, nb, c0)
-        out["decoded_full"] = dec
-        out["norm_full"] = nrm
-        return out
 
     @property
     def is_trained(self):
@@ -142,19 +109,24 @@ class IVFPQRIndex(IVFPQIndex):
             decoded = self.pq_codec.decode_nd(codes_nm)
         resid2 = x_nd - decoded
         rcodes_nm = self.rerank_codec.encode_nd(resid2)
-        decoded_full = decoded + self.rerank_codec.decode_nd(rcodes_nm)
         norms = jnp.sum(jnp.square(decoded), axis=-1, keepdims=True)
-        norms_full = jnp.sum(jnp.square(decoded_full), axis=-1, keepdims=True)
+        aux_rows = {"norm": norms, "rerank_codes": rcodes_nm}
+        if self._code_domain:
+            pass
+        elif self._int8_cache:
+            qd, scale = util.int8_quantize_rows(decoded)
+            aux_rows["decoded"] = qd
+            aux_rows["scale"] = scale[:, None]
+        else:
+            aux_rows["decoded"] = decoded
         from ..container.cell import CellContainer
         return CellContainer.add(
             self, codes_nm.T, cells, ids=ids, return_address=return_address,
-            aux_rows={"decoded": decoded, "norm": norms,
-                      "rerank_codes": rcodes_nm,
-                      "decoded_full": decoded_full, "norm_full": norms_full})
+            aux_rows=aux_rows)
 
     def search(self, x, k=1, return_address=False):
         """Two-stage search: base IVFPQ scan widened by rerank_multiplier,
-        then exact re-rank against the two-stage reconstruction."""
+        then exact re-rank against the on-the-fly two-stage decode."""
         x = jnp.asarray(x).astype(jnp.float32)
         assert x.shape[0] == self.d_vector
         if self.distance == "cosine":
@@ -162,9 +134,16 @@ class IVFPQRIndex(IVFPQIndex):
         k_base = int(k) * self.rerank_multiplier
         _, _, cand_addr = super().search(x, k=k_base, return_address=True)
         q = x.T
-        vals, addr = _rerank(
-            q, cand_addr, self.aux("decoded_full"),
-            self.aux("norm_full")[:, 0], k=int(k), distance=self.distance)
+        pq = self.pq_codec
+        rr = self.rerank_codec
+        vals, addr = _rerank_from_codes(
+            q, cand_addr, self._storage, self.aux("rerank_codes"),
+            self._cell_start, pq.codebook_internal, rr.codebook_internal,
+            (self.vq_codec.kmeans._centroids[0] if self.pq_use_residual
+             else None), self._is_empty,
+            k=int(k), distance=self.distance, residual=self.pq_use_residual,
+            m=pq.n_subvectors, dsub=pq.d_subvector,
+            mr=rr.n_subvectors, dsubr=rr.d_subvector)
         ids = self.get_id_by_address(addr)
         ids = jnp.where(addr >= 0, ids, -1)
         if vals.shape[-1] < k:

@@ -240,6 +240,140 @@ def _sortable_i32_f32(key):
     u = jnp.where(sign, (~k) ^ jnp.uint32(0x80000000), k)
     return jax.lax.bitcast_convert_type(u, jnp.float32)
 
+
+def _pack_pairs(cells, probe_mask, *, n_cells, p_tile, b_max):
+    """Sort probed (query, cell) pairs by cell and pack them into blocks of
+    up to p_tile probers of one cell (static shapes throughout; masked
+    probes sort last and land in the dropped pseudo-block b_max).
+
+    Returns (order, pair_block, pair_slot, block_cell, probers):
+    order: sorted-pair -> original-pair permutation; pair_block/pair_slot
+    place each *sorted* pair in the [b_max, p_tile] grid; block_cell [b_max]
+    is each block's cell (-1 pad); probers [b_max, p_tile] its query rows.
+    """
+    nq, n_probe = cells.shape
+    n_pairs = nq * n_probe
+    flat_cells = jnp.where(probe_mask.reshape(-1), cells.reshape(-1),
+                           jnp.int32(n_cells))  # masked probes sort last
+    query_of = jnp.repeat(jnp.arange(nq, dtype=jnp.int32), n_probe)
+    order = jnp.argsort(flat_cells)
+    sorted_cells = flat_cells[order]
+    sorted_q = query_of[order]
+    # rank of each pair within its cell's prober list
+    cell_first = jnp.searchsorted(sorted_cells, jnp.arange(n_cells),
+                                  side="left").astype(jnp.int32)
+    cell_count = (jnp.searchsorted(sorted_cells, jnp.arange(n_cells),
+                                   side="right").astype(jnp.int32)
+                  - cell_first)
+    pair_idx = jnp.arange(n_pairs, dtype=jnp.int32)
+    safe_cell = jnp.minimum(sorted_cells, n_cells - 1)
+    rank = pair_idx - cell_first[safe_cell]
+    blocks_per_cell = util.cdiv(cell_count, p_tile)
+    block_offset = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(blocks_per_cell)[:-1]])
+    pair_block = jnp.where(sorted_cells < n_cells,
+                           block_offset[safe_cell] + rank // p_tile,
+                           jnp.int32(b_max))  # invalid pairs -> dropped
+    pair_slot = rank % p_tile
+
+    block_cell = jnp.full((b_max,), -1, jnp.int32).at[pair_block].set(
+        sorted_cells, mode="drop")
+    probers = jnp.full((b_max, p_tile), -1, jnp.int32).at[
+        pair_block, pair_slot].set(sorted_q, mode="drop")
+    return order, pair_block, pair_slot, block_cell, probers
+
+
+def _block_select(scores, start_c, *, k_pair, s_eff, approx, pack32,
+                  slot_mask, key_neg_big, big):
+    """Per-block top-k_pair select + wire-format pack. scores: [bc, p, s];
+    start_c: [bc] window starts. pack32 emits one int32 per candidate (top
+    (32 - slot_bits) bits of the order-preserving key | in-window slot —
+    the value loses slot_bits mantissa bits, ~2^-11 relative, far below
+    bf16 scoring noise; the address is rebuilt as start[pair] + slot after
+    the final merge). Exact emits (key, address) int32 pairs so the unsort
+    permutation still moves ONE array."""
+    if approx and k_pair < s_eff:
+        vals, idx = jax.lax.approx_max_k(scores, k_pair)
+    else:
+        vals, idx = jax.lax.top_k(scores, k_pair)
+    alive = vals > -big / 2
+    if pack32:
+        key = _f32_sortable_i32(vals)
+        packed = (key & jnp.int32(~slot_mask)) | idx
+        return jnp.where(alive, packed, key_neg_big)
+    vals = jnp.where(alive, vals, -jnp.inf)
+    baddr = start_c[:, None, None] + idx  # address is arithmetic
+    baddr = jnp.where(alive, baddr, -1)
+    return jnp.concatenate([_f32_sortable_i32(vals), baddr], axis=-1)
+
+
+def _merge_pairs(combo, query, order, pair_block, pair_slot, start_c_all, *,
+                 b_max, p_tile, k, k_pair, nq, n_probe, pack32, slot_mask,
+                 key_neg_big, distance, big):
+    """Unsort per-pair partial top-ks back to original pair order (one
+    row-gather via the inverse permutation) and run the final per-query
+    merge. combo: [b_max, p_tile, k_pair] pack32 int32 or
+    [b_max, p_tile, 2*k_pair] (keys ++ addresses). Returns (vals, addrs)."""
+    n_pairs = nq * n_probe
+    inv = jnp.zeros((n_pairs,), jnp.int32).at[order].set(
+        jnp.arange(n_pairs, dtype=jnp.int32))  # original pair -> sorted pos
+    bo = pair_block[inv]
+    so = pair_slot[inv]
+    live = bo < b_max
+    bo_safe = jnp.minimum(bo, b_max - 1)
+    kk = min(k, n_probe * k_pair)
+
+    if pack32:
+        # flattened row index: XLA lowers the 1-D row gather measurably
+        # faster than the equivalent 2-D [bo, so] gather
+        pc = combo.reshape(b_max * p_tile, k_pair)[
+            bo_safe * p_tile + so]  # [n_pairs, k_pair], original pair order
+        out = jnp.where(live[:, None], pc, key_neg_big)
+        pair_start = jnp.where(live, start_c_all[bo_safe], 0)  # [n_pairs]
+        keys = out.reshape(nq, n_probe * k_pair)
+        starts_q = pair_start.reshape(nq, n_probe)
+        # selection on the decoded (noisy-low-bits) values — monotone in the
+        # packed keys, so ranking matches an int32 sort of the keys
+        sel = _sortable_i32_f32(keys)
+        if kk < keys.shape[-1]:
+            fvs, fi = jax.lax.approx_max_k(sel, kk)
+        else:
+            fvs, fi = jax.lax.top_k(sel, kk)
+        packed_w = jnp.take_along_axis(keys, fi, axis=1)
+        slot = packed_w & jnp.int32(slot_mask)
+        start_w = jnp.take_along_axis(starts_q, fi // k_pair, axis=1)
+        alive = fvs > -big / 2
+        fv = _sortable_i32_f32(packed_w & jnp.int32(~slot_mask))
+        fa = jnp.where(alive, start_w + slot, -1)
+        fv = jnp.where(alive, fv, -jnp.inf)
+    else:
+        pc = combo.reshape(b_max * p_tile, 2 * k_pair)[
+            bo_safe * p_tile + so]  # [n_pairs, 2k], orig order
+        neg = jnp.int32(jnp.iinfo(jnp.int32).min)
+        fill = jnp.concatenate([jnp.full(k_pair, neg, jnp.int32),
+                                jnp.full(k_pair, -1, jnp.int32)])
+        out = jnp.where(live[:, None], pc, fill[None, :])
+
+        # ---- final exact merge per query ----
+        out = out.reshape(nq, n_probe, 2 * k_pair)
+        keys = out[:, :, :k_pair].reshape(nq, n_probe * k_pair)
+        addrs = out[:, :, k_pair:].reshape(nq, n_probe * k_pair)
+        fk, fi = jax.lax.top_k(keys, kk)
+        fa = jnp.take_along_axis(addrs, fi, axis=1)
+        fv = _sortable_i32_f32(fk)
+        fa = jnp.where(jnp.isfinite(fv), fa, -1)
+        fv = jnp.where(jnp.isfinite(fv), fv, -jnp.inf)
+
+    if distance == "euclidean":
+        # rank-invariant per-query correction deferred from the hot loop
+        fv = jnp.where(jnp.isfinite(fv),
+                       fv - jnp.sum(jnp.square(query), axis=-1)[:, None],
+                       fv)
+    if kk < k:
+        fv = jnp.pad(fv, ((0, 0), (0, k - kk)), constant_values=-jnp.inf)
+        fa = jnp.pad(fa, ((0, 0), (0, k - kk)), constant_values=-1)
+    return fv, fa
+
 @functools.partial(
     jax.jit,
     static_argnames=("k", "distance", "s_max", "n_cells", "p_tile",
@@ -320,32 +454,8 @@ def scan_cell_major(query, cells, probe_mask, decoded, norms, is_empty,
     b_max = util.round_up(b_max, block_chunk)
 
     # ---- pack pairs into blocks (all static-shape) ----
-    flat_cells = jnp.where(probe_mask.reshape(-1), cells.reshape(-1),
-                           jnp.int32(n_cells))  # masked probes sort last
-    query_of = jnp.repeat(jnp.arange(nq, dtype=jnp.int32), n_probe)
-    order = jnp.argsort(flat_cells)
-    sorted_cells = flat_cells[order]
-    sorted_q = query_of[order]
-    # rank of each pair within its cell's prober list
-    cell_first = jnp.searchsorted(sorted_cells, jnp.arange(n_cells),
-                                  side="left").astype(jnp.int32)
-    cell_count = (jnp.searchsorted(sorted_cells, jnp.arange(n_cells),
-                                   side="right").astype(jnp.int32) - cell_first)
-    pair_idx = jnp.arange(n_pairs, dtype=jnp.int32)
-    safe_cell = jnp.minimum(sorted_cells, n_cells - 1)
-    rank = pair_idx - cell_first[safe_cell]
-    blocks_per_cell = util.cdiv(cell_count, p_tile)
-    block_offset = jnp.concatenate(
-        [jnp.zeros(1, jnp.int32), jnp.cumsum(blocks_per_cell)[:-1]])
-    pair_block = jnp.where(sorted_cells < n_cells,
-                           block_offset[safe_cell] + rank // p_tile,
-                           jnp.int32(b_max))  # invalid pairs -> dropped
-    pair_slot = rank % p_tile
-
-    block_cell = jnp.full((b_max,), -1, jnp.int32).at[pair_block].set(
-        sorted_cells, mode="drop")
-    probers = jnp.full((b_max, p_tile), -1, jnp.int32).at[
-        pair_block, pair_slot].set(sorted_q, mode="drop")
+    order, pair_block, pair_slot, block_cell, probers = _pack_pairs(
+        cells, probe_mask, n_cells=n_cells, p_tile=p_tile, b_max=b_max)
 
     # ---- score blocks ----
     # TPU gathers run at ~1 GB/s while contiguous dynamic-slices run at HBM
@@ -498,28 +608,10 @@ def scan_cell_major(query, cells, probe_mask, decoded, norms, is_empty,
                                 preferred_element_type=jnp.float32)
                 scores = (2.0 * ab if distance == "euclidean" else ab)
                 scores = scores - pen[:, None, :]
-            if approx and k_pair < s_eff:
-                vals, idx = jax.lax.approx_max_k(scores, k_pair)
-            else:
-                vals, idx = jax.lax.top_k(scores, k_pair)
-            alive = vals > -big / 2
-            if pack32:
-                # one int32 per candidate: top (32 - slot_bits) bits of the
-                # order-preserving key | in-window slot. Halves the unsort
-                # payload; the value loses slot_bits mantissa bits
-                # (~2^-11 relative — far below the bf16 scoring noise) and
-                # the address is rebuilt as start[pair] + slot after the
-                # final merge.
-                key = _f32_sortable_i32(vals)
-                packed = (key & jnp.int32(~slot_mask)) | idx
-                return jnp.where(alive, packed, key_neg_big)
-            vals = jnp.where(alive, vals, -jnp.inf)
-            baddr = start_c[:, None, None] + idx  # address is arithmetic
-            baddr = jnp.where(alive, baddr, -1)
-            # pack (value, address) as [k] order-preserving int32 keys +
-            # [k] addresses so the unsort permutation moves ONE array
-            return jnp.concatenate([_f32_sortable_i32(vals), baddr],
-                                   axis=-1)
+            return _block_select(scores, start_c, k_pair=k_pair, s_eff=s_eff,
+                                 approx=approx, pack32=pack32,
+                                 slot_mask=slot_mask,
+                                 key_neg_big=key_neg_big, big=big)
 
         nbc = b_max // block_chunk
         xs = [qvecs_all.reshape(nbc, block_chunk, p_tile, d),
@@ -533,64 +625,11 @@ def scan_cell_major(query, cells, probe_mask, decoded, norms, is_empty,
         combo = combo.reshape(b_max, p_tile,
                               k_pair if pack32 else 2 * k_pair)
 
-    # ---- unsort per-pair partials back to [nq, n_probe, k_pair] ----
+    # ---- unsort per-pair partials + final per-query merge ----
     # one row-gather via the inverse permutation (a gather+scatter pair
     # would double the payload traffic, which dominates at high n_probe)
-    inv = jnp.zeros((n_pairs,), jnp.int32).at[order].set(
-        jnp.arange(n_pairs, dtype=jnp.int32))  # original pair -> sorted pos
-    bo = pair_block[inv]
-    so = pair_slot[inv]
-    live = bo < b_max
-    bo_safe = jnp.minimum(bo, b_max - 1)
-    kk = min(k, n_probe * k_pair)
-
-    if pack32:
-        # flattened row index: XLA lowers the 1-D row gather measurably
-        # faster than the equivalent 2-D [bo, so] gather
-        pc = combo.reshape(b_max * p_tile, k_pair)[
-            bo_safe * p_tile + so]  # [n_pairs, k_pair], original pair order
-        out = jnp.where(live[:, None], pc, key_neg_big)
-        pair_start = jnp.where(live, start_c_all[bo_safe], 0)  # [n_pairs]
-        keys = out.reshape(nq, n_probe * k_pair)
-        starts_q = pair_start.reshape(nq, n_probe)
-        # selection on the decoded (noisy-low-bits) values — monotone in the
-        # packed keys, so ranking matches an int32 sort of the keys
-        sel = _sortable_i32_f32(keys)
-        if kk < keys.shape[-1]:
-            fvs, fi = jax.lax.approx_max_k(sel, kk)
-        else:
-            fvs, fi = jax.lax.top_k(sel, kk)
-        packed_w = jnp.take_along_axis(keys, fi, axis=1)
-        slot = packed_w & jnp.int32(slot_mask)
-        start_w = jnp.take_along_axis(starts_q, fi // k_pair, axis=1)
-        alive = fvs > -big / 2
-        fv = _sortable_i32_f32(packed_w & jnp.int32(~slot_mask))
-        fa = jnp.where(alive, start_w + slot, -1)
-        fv = jnp.where(alive, fv, -jnp.inf)
-    else:
-        pc = combo.reshape(b_max * p_tile, 2 * k_pair)[
-            bo_safe * p_tile + so]  # [n_pairs, 2k], orig order
-        neg = jnp.int32(jnp.iinfo(jnp.int32).min)
-        fill = jnp.concatenate([jnp.full(k_pair, neg, jnp.int32),
-                                jnp.full(k_pair, -1, jnp.int32)])
-        out = jnp.where(live[:, None], pc, fill[None, :])
-
-        # ---- final exact merge per query ----
-        out = out.reshape(nq, n_probe, 2 * k_pair)
-        keys = out[:, :, :k_pair].reshape(nq, n_probe * k_pair)
-        addrs = out[:, :, k_pair:].reshape(nq, n_probe * k_pair)
-        fk, fi = jax.lax.top_k(keys, kk)
-        fa = jnp.take_along_axis(addrs, fi, axis=1)
-        fv = _sortable_i32_f32(fk)
-        fa = jnp.where(jnp.isfinite(fv), fa, -1)
-        fv = jnp.where(jnp.isfinite(fv), fv, -jnp.inf)
-
-    if distance == "euclidean":
-        # rank-invariant per-query correction deferred from the hot loop
-        fv = jnp.where(jnp.isfinite(fv),
-                       fv - jnp.sum(jnp.square(query), axis=-1)[:, None],
-                       fv)
-    if kk < k:
-        fv = jnp.pad(fv, ((0, 0), (0, k - kk)), constant_values=-jnp.inf)
-        fa = jnp.pad(fa, ((0, 0), (0, k - kk)), constant_values=-1)
-    return fv, fa
+    return _merge_pairs(
+        combo, query, order, pair_block, pair_slot, start_c_all,
+        b_max=b_max, p_tile=p_tile, k=k, k_pair=k_pair, nq=nq,
+        n_probe=n_probe, pack32=pack32, slot_mask=slot_mask,
+        key_neg_big=key_neg_big, distance=distance, big=big)

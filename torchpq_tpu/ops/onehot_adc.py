@@ -1,0 +1,227 @@
+"""Code-domain (codes-only) IVFPQ scan — the memory-minimal path.
+
+Reference counterpart: the LUT-gather inner loop of the fused scan
+(torchpq/kernels/cuda/ivfpq_topk.cu:650-679), which reads m bytes per
+candidate and looks each byte up in a shared-memory [m, 256] table. SURVEY.md
+§7 ordered both TPU translations measured: a gather-based scan and the
+one-hot-matmul trick. The gather loses outright — a per-(query, slot,
+subvector) table lookup is ~1 GB/s XLA gather territory and the VPU-add
+accumulation alone is ~50x slower than the MXU sweep. This module is the
+one-hot translation:
+
+    score[q, j] = sum_i LUT[q, i, code[j, i]]
+                = LUT_flat[q, :] . onehot(code_j)          (width m * 256)
+
+i.e. ADC over raw codes is a matmul against one-hot code rows. The catch is
+fundamental: the contraction width is m*256 (16384 for PQ64) vs d (128) for
+the decoded-cache scan, so the MXU does ~128x the FLOPs per candidate — the
+price of scanning m-byte codes with zero decode gathers and zero cache
+bytes. Measured numbers live in ARCHITECTURE.md ("code-domain scan"); the
+decoded/int8 caches remain the fast paths, and this one is the capacity
+path: HBM holds ONLY the canonical uint8 codes (m B/slot — the reference's
+exact memory contract) plus 4 B/slot of norms.
+
+Both scans here reuse the cell-major machinery from ops/adc.py (pair
+packing, per-block select, pack32 unsort/merge); only block scoring differs.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .. import config
+from .. import util
+from ..metric import canonical_distance
+from .adc import (_pack_pairs, _merge_pairs, _block_select,
+                  _f32_sortable_i32)
+
+
+def build_scan_lut(query, codebook, distance, precision=None):
+    """Per-subvector partial-similarity table with SUM semantics: summing
+    lut[q, i, code_i] over i gives <q, y> (inner/cosine/euclidean — the
+    euclidean caller applies the 2<q,y> - |y|^2 - |q|^2 identity with |y|^2
+    riding the penalty stream) or -|q - y|_1 exactly (manhattan — the L1
+    metric decomposes per subvector, so code-domain manhattan is exact,
+    which the bf16 decoded cache can't claim).
+
+    query: [nq, d]; codebook: [m, n_clusters, dsub] -> [nq, m, n_clusters].
+    """
+    distance = canonical_distance(distance)
+    m, nc, dsub = codebook.shape
+    nq = query.shape[0]
+    q = query.reshape(nq, m, dsub)
+    if distance == "manhattan":
+        return -jnp.sum(
+            jnp.abs(q[:, :, None, :] - codebook[None, :, :, :]), axis=-1)
+    return jnp.einsum("qmd,mcd->qmc", q, codebook,
+                      precision=precision or config.SEARCH_PRECISION,
+                      preferred_element_type=jnp.float32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "distance", "s_max", "n_cells", "p_tile",
+                     "block_chunk", "approx", "precision", "k_pair"))
+def scan_cell_major_codes(query, cells, probe_mask, codes, norms, is_empty,
+                          cell_start, cell_capacity, codebook, *, k, distance,
+                          s_max, n_cells, p_tile=128, block_chunk=8,
+                          approx=False, precision=None, k_pair=None):
+    """Cell-major scan over raw uint8 codes (no decoded cache).
+
+    Identical contract to adc.scan_cell_major, but the candidate side reads
+    codes [cap, m] uint8 (m B/slot of HBM traffic — the window DMA is 2d/m x
+    smaller than the decoded scan's) and scores each block as
+
+        LUT_tile [p, m*nc] @ onehot(codes window) [s, m*nc]^T
+
+    on the MXU. LUT rows are gathered per block from the [nq, m*nc] bf16
+    table (wide rows gather well); the one-hot is built by a vectorized
+    compare and never leaves the fused matmul's operand stream.
+    """
+    distance = canonical_distance(distance)
+    nq, n_probe = cells.shape
+    n_pairs = nq * n_probe
+    m = codes.shape[1]
+    cap_total = codes.shape[0]
+
+    if k_pair is None:
+        if approx and k > 16:
+            k_pair = min(k, max(16, 4 * util.cdiv(k, n_probe)))
+        else:
+            k_pair = k
+    k_pair = min(k_pair, k, s_max, cap_total)
+    b_max = min(n_cells, n_pairs) + util.cdiv(n_pairs, p_tile)
+    b_max = util.round_up(b_max, block_chunk)
+
+    order, pair_block, pair_slot, block_cell, probers = _pack_pairs(
+        cells, probe_mask, n_cells=n_cells, p_tile=p_tile, b_max=b_max)
+
+    big = jnp.float32(jnp.finfo(jnp.float32).max / 4)
+    cell_all = jnp.maximum(block_cell, 0)
+    qidx_all = jnp.maximum(probers, 0)
+    start_all = cell_start[cell_all]
+    cap_all = cell_capacity[cell_all]
+    if distance == "euclidean":
+        penalty_arr = jnp.where(is_empty, big, norms)
+    else:
+        penalty_arr = jnp.where(is_empty, big, 0.0)
+    slot_iota = jnp.arange(s_max, dtype=jnp.int32)
+    s_eff = min(s_max, cap_total)
+    start_c_all = jnp.clip(start_all, 0, cap_total - s_eff)
+    off_all = start_all - start_c_all
+
+    s_pow2 = util.next_pow2(s_eff)
+    pack32 = approx and s_pow2 <= 4096
+    slot_mask = s_pow2 - 1
+    key_neg_big = _f32_sortable_i32(-big) & jnp.int32(~slot_mask)
+
+    lut = build_scan_lut(query, codebook, distance, precision)
+    nc = lut.shape[-1]
+    lut_flat = lut.reshape(nq, m * nc).astype(jnp.bfloat16)
+    cvals = jnp.arange(nc, dtype=jnp.int32)
+
+    def one_chunk(args):
+        qidx, start_c, off, capc = args  # [bc,p],[bc],[bc],[bc]
+        # per-chunk LUT row gather (wide rows from [nq, m*nc] — gathers
+        # well); materializing all B tiles up front would be B x p x m*nc
+        # bf16 = tens of GB
+        lut_t = lut_flat[qidx]  # [bc, p, m*nc]
+        win = jnp.stack([
+            jax.lax.dynamic_slice(codes, (start_c[i], 0), (s_eff, m))
+            for i in range(block_chunk)])  # [bc, s, m] uint8
+        pen = jnp.stack([
+            jax.lax.dynamic_slice(penalty_arr, (start_c[i],), (s_eff,))
+            for i in range(block_chunk)])
+        in_cell = ((slot_iota[None, :s_eff] >= off[:, None])
+                   & (slot_iota[None, :s_eff] < (off + capc)[:, None]))
+        pen = pen + jnp.where(in_cell, 0.0, big)
+        oh = (win.astype(jnp.int32)[..., None]
+              == cvals[None, None, None, :]).astype(jnp.bfloat16)
+        sums = jnp.einsum(
+            "bpx,bsx->bps", lut_t,
+            oh.reshape(block_chunk, s_eff, m * nc),
+            preferred_element_type=jnp.float32)
+        scores = (2.0 * sums if distance == "euclidean" else sums)
+        scores = scores - pen[:, None, :]
+        return _block_select(scores, start_c, k_pair=k_pair, s_eff=s_eff,
+                             approx=approx, pack32=pack32,
+                             slot_mask=slot_mask, key_neg_big=key_neg_big,
+                             big=big)
+
+    nbc = b_max // block_chunk
+    combo = jax.lax.map(one_chunk, (
+        qidx_all.reshape(nbc, block_chunk, p_tile),
+        start_c_all.reshape(nbc, block_chunk),
+        off_all.reshape(nbc, block_chunk),
+        cap_all.reshape(nbc, block_chunk)))
+    combo = combo.reshape(b_max, p_tile, k_pair if pack32 else 2 * k_pair)
+
+    return _merge_pairs(
+        combo, query, order, pair_block, pair_slot, start_c_all,
+        b_max=b_max, p_tile=p_tile, k=k, k_pair=k_pair, nq=nq,
+        n_probe=n_probe, pack32=pack32, slot_mask=slot_mask,
+        key_neg_big=key_neg_big, distance=distance, big=big)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "distance", "chunk", "approx", "precision"))
+def flat_onehot_scan(query, codes, penalty, codebook, *, k, distance,
+                     chunk=16384, approx=True, precision=None):
+    """Exhaustive code-domain sweep: LUT [nq, m*nc] @ one-hot codes chunks.
+
+    The code-domain analog of flat_adc_scan — same chunk + approx-top-k +
+    exact-final-merge structure, m*nc-wide contraction instead of d. This is
+    the honest 'measure both' loser at scale (the FLOPs are m*nc/d x the
+    decoded sweep's) but it serves max-recall searches on indexes that keep
+    no scan cache at all.
+    """
+    distance = canonical_distance(distance)
+    nq = query.shape[0]
+    cap, m = codes.shape
+    chunk = min(chunk, cap)
+    big = jnp.float32(jnp.finfo(jnp.float32).max / 4)
+    lut = build_scan_lut(query, codebook, distance, precision)
+    nc = lut.shape[-1]
+    lut_flat = lut.reshape(nq, m * nc).astype(jnp.bfloat16)
+    cvals = jnp.arange(nc, dtype=jnp.int32)
+    n_chunks = util.cdiv(cap, chunk)
+    k_c = min(k, chunk)
+
+    def one(c0):
+        c0c = jnp.minimum(c0, cap - chunk)
+        shift = c0 - c0c
+        win = jax.lax.dynamic_slice(codes, (c0c, 0), (chunk, m))
+        pen = jax.lax.dynamic_slice(penalty, (c0c,), (chunk,))
+        pen = pen + jnp.where(jnp.arange(chunk) < shift, big, 0.0)
+        oh = (win.astype(jnp.int32)[..., None]
+              == cvals[None, None, :]).astype(jnp.bfloat16)
+        sums = jnp.einsum("qx,sx->qs", lut_flat,
+                          oh.reshape(chunk, m * nc),
+                          preferred_element_type=jnp.float32)
+        s = (2.0 * sums if distance == "euclidean" else sums) - pen[None, :]
+        if approx and k_c < chunk:
+            v, i = jax.lax.approx_max_k(s, k_c)
+        else:
+            v, i = jax.lax.top_k(s, k_c)
+        return v, (i + c0c).astype(jnp.int32)
+
+    starts = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
+    vals, idx = jax.lax.map(one, starts)  # [nch, nq, k_c]
+    vals = jnp.moveaxis(vals, 0, 1).reshape(nq, -1)
+    idx = jnp.moveaxis(idx, 0, 1).reshape(nq, -1)
+    kk = min(k, vals.shape[-1])
+    fv, fi = jax.lax.top_k(vals, kk)
+    fa = jnp.take_along_axis(idx, fi, axis=1)
+    alive = fv > -big / 2
+    fv = jnp.where(alive, fv, -jnp.inf)
+    fa = jnp.where(alive, fa, -1)
+    if distance == "euclidean":
+        fv = jnp.where(alive,
+                       fv - jnp.sum(jnp.square(query), axis=-1)[:, None],
+                       -jnp.inf)
+    if kk < k:
+        fv = jnp.pad(fv, ((0, 0), (0, k - kk)), constant_values=-jnp.inf)
+        fa = jnp.pad(fa, ((0, 0), (0, k - kk)), constant_values=-1)
+    return fv, fa

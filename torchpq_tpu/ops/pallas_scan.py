@@ -39,10 +39,21 @@ jax.lax.approx_max_k (per-pair recall ~0.95 at G=128, s=512, k<=16).
 
 import functools
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+
+def _sortable_i32_const(x):
+    """Host-side mirror of adc._f32_sortable_i32 for compile-time constants
+    (Mosaic's tpu.bitcast only accepts vectors, not scalars)."""
+    u = int(np.float32(x).view(np.uint32))
+    if u >> 31:
+        u = (~u ^ 0x80000000) & 0xFFFFFFFF
+    return int(np.uint32(u).astype(np.int64)) - (1 << 32) \
+        if u >= (1 << 31) else int(u)
 
 
 # the order-preserving f32->i32 bijection must stay bit-exact with the
@@ -65,7 +76,7 @@ def _select_topk(scores, k_pair, width, big, start, slot_mask, pack32,
     """
     p = scores.shape[0]
     iota2 = jax.lax.broadcasted_iota(jnp.int32, (p, width), 1)
-    key_neg_big = _f32_sortable_i32(jnp.float32(-big)) & jnp.int32(~slot_mask)
+    key_neg_big = jnp.int32(_sortable_i32_const(-big) & ~slot_mask)
     key_cols = []
     addr_cols = []
     pack_cols = []
