@@ -235,7 +235,10 @@ def main():
 
     print(f"[bench] data: {n_base}x{d}, queries {n_query}, "
           f"IVF{n_cells} PQ{m}", file=sys.stderr)
-    base, query = make_data(n_base, n_query, d)
+    # manifold data: the recall-vs-n_probe axis climbs gradually like
+    # SIFT1M (tight-cluster data saturates by n_probe=8 and every probing
+    # row repeats the ceiling — scripts/tune_generator.py has the curves)
+    base, query = make_data(n_base, n_query, d, spectrum="manifold-12")
 
     # 3x headroom avoids mid-add relayouts; at 10M that would be an 8.6 GB
     # cache, so xl runs tighter (pow2 rounding still leaves ~1.7x, and
@@ -287,9 +290,12 @@ def main():
             print(f"[bench] saved index state to {args.state}",
                   file=sys.stderr)
 
+    # GT key carries the dataset identity (the spectrum!) — a stale flat-
+    # spectrum GT against manifold data reads as recall 0.0
     true_idx = brute_force_topk(
         base, query, args.k,
-        cache_key="small" if args.small else ("xl" if args.xl else "full"))
+        cache_key=("small" if args.small else ("xl" if args.xl else "full"))
+        + "_manifold12")
     print("[bench] ground truth ready", file=sys.stderr)
 
     qj = jnp.asarray(query.T)

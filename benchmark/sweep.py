@@ -50,7 +50,9 @@ def main():
                     default=[1, 2, 4, 8, 16, 32, 64, 128])
     ap.add_argument("--repeats", type=int, default=5)
     ap.add_argument("--initial-mult", type=int, default=3)
-    ap.add_argument("--spectrum", default="flat", choices=("flat", "decay"),
+    ap.add_argument("--spectrum", default="manifold-12",
+                    choices=("flat", "decay", "manifold-12", "manifold-16",
+                             "manifold-24"),
                     help="decay: GIST-like per-dim variance decay (see "
                          "bench.make_data)")
     ap.add_argument("--cache", default=None,

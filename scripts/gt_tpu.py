@@ -103,6 +103,7 @@ def main():
     ap.add_argument("--xl", action="store_true")
     ap.add_argument("--check-1m", action="store_true")
     ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--spectrum", default="flat")
     ap.add_argument("--metric", default="euclidean",
                     choices=("euclidean", "inner", "cosine"))
     ap.add_argument("--key", default=None,
@@ -133,7 +134,8 @@ def main():
         n_base, n_query, key = 10_000_000, 10_000, "xl"
     else:
         n_base, n_query, key = 1_000_000, 10_000, "full"
-    base, query = make_data(n_base, n_query, 128)
+    base, query = make_data(n_base, n_query, 128,
+                            spectrum=args.spectrum)
     got = gt_on_tpu(base, query, args.k, metric=args.metric)
     key = args.key or key
     path = f"/tmp/gt_{key}_{args.metric}_{n_base}_{n_query}_{args.k}.npy"

@@ -25,3 +25,9 @@ import pytest
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+# compiled Mosaic kernels don't exist on CPU; run Pallas paths interpreted
+from torchpq_tpu import config as _tpq_config
+
+_tpq_config.PALLAS_INTERPRET = True

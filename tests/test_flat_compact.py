@@ -110,3 +110,49 @@ def test_save_load_orbax_roundtrip(tmp_path, built):
     v1, p1 = ix.search(q, k=5)
     v2, p2 = ix2.search(q, k=5)
     np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+
+
+def test_cell_compacted_scan_matches_uncompacted(built):
+    """The cell-aware compacted layout must return identical results to the
+    capacity-layout scan (same cells scanned, same exact select), including
+    after removals punch holes into the storage."""
+    ix, x, ids = built
+    ix.remove(ids[100:400])
+    ix.use_approx_topk = False
+    ix.scan_mode = "cell_major"
+    ix.n_probe = 4
+    q = jnp.asarray(x[:64].T)
+    ix.scan_compact = False
+    v1, p1 = ix.search(q, k=10)
+    ix.scan_compact = True
+    dec, nrm, emp, amap, sc, cs_live, sz_live, s_live = ix._cell_compacted()
+    assert s_live < ix.max_cell_capacity or ix.capacity == dec.shape[0]
+    v2, p2 = ix.search(q, k=10)
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2),
+                               rtol=1e-5, atol=1e-5)
+    # removed ids never come back from the compacted path
+    assert not (set(np.asarray(p2).ravel().tolist())
+                & set(ids[100:400].tolist()))
+    # mutation invalidates the cached layout
+    ver0 = ix._compact_cache[0]
+    ix.add(jnp.asarray(x[:32].T))
+    _ = ix.search(q, k=10)
+    assert ix._compact_cache[0] != ver0
+
+
+def test_cell_compacted_pallas_approx(built):
+    """Pallas approx kernel accepts the compacted (multiple-of-128, not
+    pow2) window width."""
+    ix, x, ids = built
+    ix.use_approx_topk = True
+    ix.scan_impl = "pallas"
+    ix.scan_mode = "cell_major"
+    ix.scan_compact = True
+    ix.n_probe = 8
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # gate failure warns -> fail test
+        v, p = ix.search(jnp.asarray(x[:32].T), k=5)
+    hit = (np.asarray(p)[:, 0] == ids[:32]).mean()
+    assert hit >= 0.9, hit

@@ -249,3 +249,33 @@ def test_data_parallel_search_matches_single_device(rng):
                                rtol=1e-3, atol=1e-3)
     agree = (np.asarray(i1) == np.asarray(i2)).mean()
     assert agree > 0.95, agree
+
+
+def test_data_parallel_search_has_no_side_effects(rng):
+    """data_parallel_search must leave the caller's index exactly as it
+    found it: same array objects (placement included), same derived
+    caches — a later single-device search must not inherit the replicated
+    sharding."""
+    from torchpq_tpu.parallel.sharded_ivfpq import data_parallel_search
+    index, x, ids = _filled_index(rng, n=800)
+    index.n_probe = 8
+    index.scan_mode = "cell_major"
+    # populate derived caches
+    index.scan_mode = "flat"
+    _ = index.search(jnp.asarray(x[:8].T), k=3)
+    index.scan_mode = "cell_major"
+    before = {n: getattr(index, n) for n in
+              ("_storage", "_address2id", "_is_empty", "_cell_start",
+               "_cell_capacity")}
+    before_aux = {n: index.aux(n) for n in index._aux}
+    flat_before = index._flat_cache
+    v, i = data_parallel_search(index, jnp.asarray(x[:16].T), k=3,
+                                mesh=get_mesh(8))
+    for n, arr in before.items():
+        assert getattr(index, n) is arr, f"{n} was rebound"
+    for n, arr in before_aux.items():
+        assert index.aux(n) is arr, f"aux {n} was rebound"
+    assert index._flat_cache is flat_before
+    # and the index still searches identically afterwards
+    v1, i1 = index.search(jnp.asarray(x[:16].T), k=3)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(i1))

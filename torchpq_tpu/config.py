@@ -31,3 +31,9 @@ def set_search_precision(p):
 def set_train_precision(p):
     global TRAIN_PRECISION
     TRAIN_PRECISION = p
+
+
+# Force Pallas kernels to interpreter mode (CPU test runs — compiled Mosaic
+# kernels only exist on TPU). Read at trace time; set it before any scan is
+# traced (tests/conftest.py does).
+PALLAS_INTERPRET = False

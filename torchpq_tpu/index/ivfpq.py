@@ -71,6 +71,42 @@ def _coarse_probe(query, coarse_codebook, temperature, *, n_probe, use_smart,
 
 
 @functools.partial(jax.jit, static_argnames=("n_pad",))
+def _compact_cells_cache(decoded, norms, scales, is_empty, cell_start,
+                         new_start, *, n_pad):
+    """Cell-aware live-row compaction: pack each cell's live rows into a
+    contiguous 16-aligned segment of a fresh [n_pad, d] cache.
+
+    Cells are over-allocated (pow2 capacities + spill headroom), so the
+    scan's per-block window (s_max = the largest cell CAPACITY) commonly
+    runs 2-4x the largest live cell — and every probed block pays for the
+    whole window. This layout preserves the cells-are-contiguous-segments
+    invariant (cell c occupies [new_start[c], new_start[c] + live_c)) with
+    the per-cell 16-alignment the Pallas DMA needs, so the exact same scan
+    code runs with s_max = the largest live cell. It also serves the flat
+    sweep (the rows are exactly the live rows, ~3% padding).
+
+    addr_map[i] = storage address of compact row i (-1 on padding)."""
+    cap = decoded.shape[0]
+    aidx = jnp.arange(cap, dtype=jnp.int32)
+    cell_of = jnp.clip(
+        jnp.searchsorted(cell_start, aidx, side="right") - 1,
+        0, cell_start.shape[0] - 1)
+    live = (~is_empty).astype(jnp.int32)
+    prefix = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(live)])  # exclusive at [a]
+    rank = prefix[aidx] - prefix[cell_start[cell_of]]
+    dest = jnp.where(is_empty, n_pad, new_start[cell_of] + rank)
+    addr_map = jnp.full((n_pad,), -1, jnp.int32).at[dest].set(
+        aidx, mode="drop")
+    valid = addr_map >= 0
+    safe = jnp.maximum(addr_map, 0)
+    dec = decoded[safe]
+    nrm = norms[safe]
+    sc = None if scales is None else scales[safe]
+    return dec, nrm, ~valid, addr_map, sc
+
+
+@functools.partial(jax.jit, static_argnames=("n_pad",))
 def _compact_flat_cache(decoded, norms, is_empty, scales, *, n_pad):
     """Squeeze the capacity-sized decoded cache down to its live rows.
 
@@ -195,7 +231,7 @@ def _search_flat(q, decoded, norms, is_empty, addr_map, address2id, *,
 def _search_full(q, coarse_codebook, decoded, norms, is_empty, cell_start,
                  cell_capacity, address2id, temperature, *, k, n_probe,
                  use_smart, precision, distance, s_max, n_cells, mode,
-                 approx, impl="xla", group=1, scales=None):
+                 approx, impl="xla", group=1, scales=None, addr_map=None):
     """The whole query path in one jit: coarse scoring + probing + fused
     scan + id translation. One dispatch per search call — the reference pays
     one kernel launch per stage (IVFPQIndex.py:469-524); here XLA fuses the
@@ -219,6 +255,9 @@ def _search_full(q, coarse_codebook, decoded, norms, is_empty, cell_start,
             cell_capacity, k=k, distance=distance, s_max=s_max,
             n_cells=n_cells, approx=approx, impl=impl, group=group,
             scales=scales, precision=precision)
+    if addr_map is not None:
+        # scanning the compacted layout: translate back to storage addresses
+        addr = jnp.where(addr >= 0, addr_map[jnp.maximum(addr, 0)], -1)
     ids = jnp.where(addr >= 0, address2id[jnp.maximum(addr, 0)], -1)
     return vals, ids, addr
 
@@ -296,6 +335,10 @@ class IVFPQIndex(CellContainer):
         # compacted flat-scan cache: (mutation counter it was built at,
         # (decoded, norms, is_empty, addr_map, scales))
         self._flat_cache = None
+        # cell-aware compacted layout for the probed scans (see
+        # _cell_compacted); "auto" enables it when windows shrink >= 1.25x
+        self.scan_compact = "auto"
+        self._compact_cache = None
         # the scan caches are derived from the codes: relayout drops and
         # recomputes them instead of gathering (halves its peak memory)
         if self._code_domain:
@@ -581,6 +624,56 @@ class IVFPQIndex(CellContainer):
         self._flat_cache = (ver, res)
         return res
 
+    def _cell_compacted(self):
+        """Unified compacted scan layout (lazily rebuilt per mutation):
+        (decoded, norms, is_empty, addr_map, scales, cell_start_live,
+        cell_size_live, s_live). Live rows packed per cell into 16-aligned
+        contiguous segments — serves the flat sweep (live rows + ~3% pad)
+        AND the probed scans with s_max = largest live cell instead of the
+        largest cell *capacity* (2-4x smaller windows under pow2 + spill
+        headroom). s_live is bucketed to multiples of 128 so growth causes
+        bounded retraces."""
+        ver = self._mutations
+        if self._compact_cache is not None and self._compact_cache[0] == ver:
+            return self._compact_cache[1]
+        sizes = np.asarray(self._cell_size_np, dtype=np.int64)
+        caps16 = ((sizes + 15) // 16) * 16
+        new_start = np.zeros_like(caps16)
+        np.cumsum(caps16[:-1], out=new_start[1:])
+        total = int(caps16.sum())
+        unit = 131072 if total > 131072 else 2048
+        n_pad = util.round_up(max(total, 16), unit)
+        s_live = min(util.round_up(max(int(caps16.max()), 16), 128), n_pad)
+        scales = self.aux("scale")[:, 0] if self._int8_cache else None
+        dec, nrm, emp, amap, sc = _compact_cells_cache(
+            self.aux("decoded"), self.aux("norm")[:, 0], scales,
+            self._is_empty, self._cell_start,
+            jnp.asarray(new_start, jnp.int32), n_pad=n_pad)
+        res = (dec, nrm, emp, amap, sc,
+               jnp.asarray(new_start, jnp.int32),
+               jnp.asarray(sizes, jnp.int32), s_live)
+        self._compact_cache = (ver, res)
+        return res
+
+    def _use_compact_scan(self):
+        """Auto policy for routing probed scans through the compacted
+        layout: pay the duplicate cache only when it shrinks the scanned
+        window meaningfully and the copy is affordable."""
+        if self.scan_compact is True:
+            return True
+        if self.scan_compact is False or self._code_domain:
+            return False
+        sizes = self._cell_size_np
+        if sizes.max() == 0:
+            return False
+        caps16 = ((int(sizes.max()) + 15) // 16) * 16
+        s_live = min(((caps16 + 127) // 128) * 128, self.capacity)
+        itemsize = 1 if self._int8_cache else (
+            2 if str(self._aux["decoded"][1]) in ("bfloat16",) else 4)
+        copy_bytes = int(sizes.sum()) * 1.1 * (self.d_vector * itemsize + 8)
+        return s_live * 1.25 <= self.max_cell_capacity \
+            and copy_bytes <= 4 * (1 << 30)
+
     def _flat_compacted(self):
         """(decoded, norms, is_empty, addr_map, scales) for the flat sweep,
         with dead slots squeezed out. Rebuilt lazily after any container
@@ -595,6 +688,9 @@ class IVFPQIndex(CellContainer):
         if n_pad >= self.capacity:
             res = (self.aux("decoded"), self.aux("norm")[:, 0],
                    self._is_empty, None, scales)
+        elif self._use_compact_scan():
+            # share the cell-aware layout instead of keeping two copies
+            res = self._cell_compacted()[:5]
         else:
             dec, nrm, emp, amap, sc = _compact_flat_cache(
                 self.aux("decoded"), self.aux("norm")[:, 0],
@@ -680,6 +776,22 @@ class IVFPQIndex(CellContainer):
                 k=int(k), distance=self.distance,
                 approx=self._use_approx_topk, impl=self.scan_impl,
                 scales=sc, precision=precision)
+            if return_address:
+                return vals, ids, addr
+            return vals, ids
+        if self._use_compact_scan():
+            dec, nrm, emp, amap, sc, cs_live, sz_live, s_live = \
+                self._cell_compacted()
+            vals, ids, addr = _search_full(
+                q, self.vq_codec.kmeans._centroids[0], dec, nrm, emp,
+                cs_live, sz_live, self._address2id,
+                jnp.float32(self._smart_probing_temperature),
+                k=int(k), n_probe=n_probe,
+                use_smart=self._use_smart_probing, precision=precision,
+                distance=self.distance, s_max=s_live,
+                n_cells=self.n_cells, mode=mode,
+                approx=self._use_approx_topk, impl=self.scan_impl,
+                group=self.scan_group, scales=sc, addr_map=amap)
             if return_address:
                 return vals, ids, addr
             return vals, ids

@@ -518,9 +518,12 @@ def scan_cell_major(query, cells, probe_mask, decoded, norms, is_empty,
         # the double-buffered candidate windows must fit VMEM
         and 2 * s_eff * d_dec * decoded.dtype.itemsize
         <= PALLAS_WINDOW_VMEM_BYTES
-        # the approx kernel's strided group reduce + pack32 wire format
-        # need a pow2 window
-        and (not approx or (pack32 and s_pow2 == s_eff)))
+        # the approx kernel's strided group reduce needs a window the
+        # G=128 groups divide (compacted layouts use multiples of 128;
+        # tiny pow2 windows skip the reduce), and pack32 as wire format
+        and (not approx or (pack32 and (s_eff % 128 == 0
+                                        or (s_pow2 == s_eff
+                                            and s_eff < 128)))))
     if impl == "pallas" and not use_pallas:
         import warnings
         warnings.warn(
@@ -534,6 +537,7 @@ def scan_cell_major(query, cells, probe_mask, decoded, norms, is_empty,
     if use_pallas:
         from .pallas_scan import scan_blocks_pallas
 
+        interpret = interpret or config.PALLAS_INTERPRET
         # stage the per-block penalty rows in XLA (4 B/slot — cheap even at
         # the scan loop's ~26 GB/s slice rate); the kernel DMAs only the
         # 64x bigger candidate windows

@@ -207,22 +207,24 @@ class ShardedIVFPQSearcher:
                  else np.zeros((d_count, 1), np.float32))
         lstart = np.zeros((d_count, c_loc), np.int32)
         lcap = np.zeros((d_count, c_loc), np.int32)
-        self.s_max = 1
+        # one vectorized gather per shard (no per-cell loop — O(n_cells)
+        # Python iterations took minutes at 256k cells): the shard's packed
+        # region reads source rows repeat(starts - packed_prefix) + arange
         for s in range(d_count):
-            off = 0
             own = np.arange(s, n_cells, d_count)
-            for j, c in enumerate(own):
-                a, w = int(starts[c]), int(caps[c])
-                lstart[s, j] = off
-                lcap[s, j] = w
-                dec_sh[s, off:off + w] = decoded[a:a + w]
-                nrm_sh[s, off:off + w] = norms[a:a + w]
-                emp_sh[s, off:off + w] = empty[a:a + w]
-                ids_sh[s, off:off + w] = a2i[a:a + w]
-                if self._int8:
-                    sc_sh[s, off:off + w] = scale[a:a + w]
-                off += w
-                self.s_max = max(self.s_max, w)
+            reps = caps[own]
+            prefix = np.concatenate([[0], np.cumsum(reps)[:-1]])
+            total = int(reps.sum())
+            lstart[s, :len(own)] = prefix
+            lcap[s, :len(own)] = reps
+            src = np.repeat(starts[own] - prefix, reps) + np.arange(total)
+            dec_sh[s, :total] = decoded[src]
+            nrm_sh[s, :total] = norms[src]
+            emp_sh[s, :total] = empty[src]
+            ids_sh[s, :total] = a2i[src]
+            if self._int8:
+                sc_sh[s, :total] = scale[src]
+        self.s_max = int(caps.max()) if n_cells else 1
 
         shard = NamedSharding(self.mesh, P(self.axis))
         put = functools.partial(jax.device_put, device=shard)
@@ -243,12 +245,18 @@ class ShardedIVFPQSearcher:
         occ = ~emp_sh
         self._lstart_np = lstart
         self._lcap_np = lcap
+        # per-cell "one past the last live slot", vectorized: scatter-max of
+        # each live slot's in-cell position + 1 onto its cell
         self._next_free = np.zeros((d_count, c_loc), np.int64)
         for s in range(d_count):
-            for j in range(c_loc):
-                a, w = lstart[s, j], lcap[s, j]
-                live = np.flatnonzero(occ[s, a:a + w])
-                self._next_free[s, j] = int(live[-1]) + 1 if len(live) else 0
+            own = np.arange(s, n_cells, d_count)
+            reps = lcap[s, :len(own)].astype(np.int64)
+            prefix = lstart[s, :len(own)].astype(np.int64)
+            total = int(reps.sum())
+            cell_of = np.repeat(np.arange(len(own)), reps)
+            pos = np.arange(total) - np.repeat(prefix, reps)
+            live = occ[s, :total]
+            np.maximum.at(self._next_free[s], cell_of[live], pos[live] + 1)
         self._max_id = int(a2i.max()) + 1 if (a2i >= 0).any() else 0
 
     def _grow_local(self, need):
@@ -275,12 +283,17 @@ class ShardedIVFPQSearcher:
         for name, arr in old.items():
             shape = (d_count, cap_sh) + arr.shape[2:]
             new[name] = np.full(shape, fills[name], arr.dtype)
+        # vectorized scatter per shard: the old layout is packed (cells
+        # back-to-back), so old rows [0, old_total) land at
+        # repeat(new_start - old_prefix) + arange — no per-cell loop
         for s in range(d_count):
-            for lc in range(c_loc):
-                a, w = self._lstart_np[s, lc], self._lcap_np[s, lc]
-                b = new_start[s, lc]
-                for name, arr in old.items():
-                    new[name][s, b:b + w] = arr[s, a:a + w]
+            old_caps = self._lcap_np[s].astype(np.int64)
+            old_prefix = self._lstart_np[s].astype(np.int64)
+            old_total = int(old_caps.sum())
+            dst = (np.repeat(new_start[s] - old_prefix, old_caps)
+                   + np.arange(old_total))
+            for name, arr in old.items():
+                new[name][s, dst] = arr[s, :old_total]
         shard = NamedSharding(self.mesh, P(self.axis))
         for name in old:
             setattr(self, name, jax.device_put(jnp.asarray(new[name]), shard))
@@ -573,17 +586,32 @@ def data_parallel_search(index, x, k=1, mesh=None):
     qshard = NamedSharding(mesh, P(None, axis))
     x = jax.device_put(x, qshard)
     # run the index's own search under the sharding constraint: state is
-    # replicated (device_put below), queries split on the batch axis, and
-    # the outputs inherit the query sharding
+    # replicated, queries split on the batch axis, and the outputs inherit
+    # the query sharding. The replicated placement is TEMPORARY — the
+    # caller's index must come back exactly as it went in (placement and
+    # derived caches included), so snapshot + restore around the search.
     repl = NamedSharding(mesh, P())
-    for name in ("_storage", "_address2id", "_is_empty", "_cell_start",
-                 "_cell_capacity"):
-        setattr(index, name, jax.device_put(getattr(index, name), repl))
-    for name in list(index._aux):
-        setattr(index, "_aux_" + name,
-                jax.device_put(index.aux(name), repl))
-    index._flat_cache = None  # rebuilt under the replicated placement
-    vals, ids = index.search(x, k=k)
+    state_names = ("_storage", "_address2id", "_is_empty", "_cell_start",
+                   "_cell_capacity")
+    saved = {name: getattr(index, name) for name in state_names}
+    saved_aux = {name: index.aux(name) for name in index._aux}
+    saved_caches = (index._flat_cache, index._compact_cache)
+    try:
+        for name in state_names:
+            setattr(index, name, jax.device_put(saved[name], repl))
+        for name in saved_aux:
+            setattr(index, "_aux_" + name,
+                    jax.device_put(saved_aux[name], repl))
+        index._flat_cache = None  # rebuilt under the replicated placement
+        index._compact_cache = None
+        vals, ids = index.search(x, k=k)
+        jax.block_until_ready((vals, ids))
+    finally:
+        for name in state_names:
+            setattr(index, name, saved[name])
+        for name in saved_aux:
+            setattr(index, "_aux_" + name, saved_aux[name])
+        index._flat_cache, index._compact_cache = saved_caches
     if pad:
         vals, ids = vals[:nq], ids[:nq]
     return vals, ids
