@@ -1,0 +1,135 @@
+"""100M x 128d single-chip capacity demo (scan_cache_dtype='none').
+
+The memory story VERDICT asked for: PQ64 codes are 64 B/slot, so 100M
+vectors cost 8.6 GB of HBM at capacity 134M (pow2 cells) — impossible for
+any decoded cache (bf16 34 GB, int8 17 GB at this capacity) on a 16 GB
+chip, easy for the code-domain index. Everything stays on device:
+
+  * base vectors are GENERATED on device chunk by chunk (manifold model,
+    seed-replayed — the dev tunnel at 79 MB/s would take 2.7 h to ship
+    51 GB of f32);
+  * exact GT is computed by replaying the same chunks against the queries
+    with a running top-k (one [nq, 1M] matmul per chunk);
+  * search runs the one-hot code-domain scan (ops/onehot_adc.py).
+
+Prints one JSON line per search point.
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from torchpq_tpu.index import IVFPQIndex
+
+D_INT = 12
+
+
+def chunk_data(key, n, d):
+    kz, ke = jax.random.split(key)
+    z = jax.random.normal(kz, (n, D_INT), jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(7), (D_INT, d), jnp.float32)
+    x = z @ (w / np.sqrt(D_INT))
+    return x + 0.02 * jax.random.normal(ke, (n, d), jnp.float32)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=100_000_000)
+    ap.add_argument("--chunk", type=int, default=1_000_000)
+    ap.add_argument("--n-cells", type=int, default=32768)
+    ap.add_argument("--nq", type=int, default=256)
+    ap.add_argument("--train-n", type=int, default=1_000_000)
+    ap.add_argument("--k", type=int, default=10)
+    args = ap.parse_args()
+    d, m = 128, 64
+
+    index = IVFPQIndex(d_vector=d, n_subvectors=m, n_cells=args.n_cells,
+                       initial_size=args.n // args.n_cells
+                       if args.n < 30_000_000 else 4096,
+                       scan_cache_dtype="none")
+    index.use_approx_topk = True
+    index.spill_cells = 8
+    index.vq_codec.kmeans.max_iter = 10
+    index.pq_codec.kmeans.max_iter = 15
+
+    t0 = time.perf_counter()
+    train = chunk_data(jax.random.PRNGKey(10_000), args.train_n, d)
+    index.train(train.T)
+    del train
+    train_s = time.perf_counter() - t0
+    index.spill_capacity = index.max_cell_capacity
+    print(f"[100m] train {train_s:.0f}s (n={args.train_n}, "
+          f"cells={args.n_cells})", flush=True)
+
+    queries = chunk_data(jax.random.PRNGKey(99_999), args.nq, d)
+    jax.block_until_ready(queries)
+
+    # exact GT by seed replay, fused with ingestion: generate chunk ->
+    # update running exact top-k for the queries -> add to the index
+    @jax.jit
+    def gt_step(q, x, base0, best_v, best_i):
+        s = (2.0 * q @ x.T - jnp.sum(jnp.square(x), axis=1)[None, :])
+        v = jnp.concatenate([best_v, s], axis=1)
+        i = jnp.concatenate(
+            [best_i, jnp.broadcast_to(
+                base0 + jnp.arange(x.shape[0], dtype=jnp.int64)[None, :],
+                s.shape)], axis=1)
+        vv, ii = jax.lax.top_k(v, best_v.shape[1])
+        return vv, jnp.take_along_axis(i, ii, axis=1)
+
+    best_v = jnp.full((args.nq, args.k), -jnp.inf, jnp.float32)
+    best_i = jnp.full((args.nq, args.k), -1, jnp.int64)
+    t0 = time.perf_counter()
+    added = 0
+    for c0 in range(0, args.n, args.chunk):
+        nchunk = min(args.chunk, args.n - c0)
+        x = chunk_data(jax.random.PRNGKey(c0 // args.chunk), nchunk, d)
+        best_v, best_i = gt_step(queries, x, jnp.int64(c0), best_v, best_i)
+        index.add(x.T)
+        added += nchunk
+        if (c0 // args.chunk) % 10 == 0:
+            el = time.perf_counter() - t0
+            print(f"[100m] added {added:,} in {el:.0f}s "
+                  f"({added / max(el, 1e-9):,.0f} vec/s)", flush=True)
+    jax.block_until_ready(best_v)
+    add_s = time.perf_counter() - t0
+    gt = np.asarray(best_i)
+    print(f"[100m] ingest+GT {add_s:.0f}s -> "
+          f"{args.n / add_s:,.0f} vec/s; n_items={index.n_items:,} "
+          f"capacity={index.capacity:,}", flush=True)
+    ms = jax.local_devices()[0].memory_stats() or {}
+    print(f"[100m] HBM in use: {ms.get('bytes_in_use', 0) / 1e9:.2f} GB "
+          f"(peak {ms.get('peak_bytes_in_use', 0) / 1e9:.2f} GB)",
+          flush=True)
+
+    qj = queries.T
+    for n_probe in (1, 8, 32):
+        index.n_probe = n_probe
+        vals, pred = index.search(qj, k=args.k)
+        jax.block_until_ready(vals)
+        t0 = time.perf_counter()
+        reps = 3
+        for _ in range(reps):
+            vals, pred = index.search(qj, k=args.k)
+        jax.block_until_ready(vals)
+        dt = (time.perf_counter() - t0) / reps
+        pred = np.asarray(pred)
+        rec = float(np.mean([len(set(pred[i]) & set(gt[i])) / args.k
+                             for i in range(args.nq)]))
+        out = {"n": args.n, "n_probe": n_probe, "qps": round(args.nq / dt),
+               "recall@10": round(rec, 4), "ms_per_batch": round(dt * 1e3, 1),
+               "nq": args.nq, "mode": "code_domain",
+               "hbm_gb": round(ms.get("bytes_in_use", 0) / 1e9, 2),
+               "train_s": round(train_s, 1), "ingest_s": round(add_s, 1)}
+        print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -344,3 +344,115 @@ def bench_pflat():
 
 if __name__ == "__main__" and which in ("all", "pflat"):
     bench_pflat()
+
+
+# ---------------- 7. cell-major pallas stage breakdown ----------------
+
+def bench_stages():
+    """Time each stage of the np=32 pallas cell-major path separately
+    (separate jits: an upper bound on the fused cost, good enough to find
+    the elephant)."""
+    import functools as ft
+    from torchpq_tpu.ops import adc
+    from torchpq_tpu.ops.pallas_scan import scan_blocks_pallas
+    rng = np.random.default_rng(6)
+    n_cells, per_cell = 4096, 512
+    cap = n_cells * per_cell
+    n_probe, p_tile, k_pair = 32, 128, K
+    n_pairs = NQ * n_probe
+    b_max = util.round_up(min(n_cells, n_pairs) + util.cdiv(n_pairs, p_tile), 8)
+    s_eff = per_cell
+    tile = jnp.asarray(rng.normal(size=(65536, D)).astype(np.float32))
+    decoded = jnp.tile(tile, (cap // 65536, 1)).astype(jnp.bfloat16)
+    norms = jnp.sum(jnp.square(decoded.astype(jnp.float32)), axis=-1)
+    is_empty = jnp.zeros((cap,), bool)
+    cell_start = jnp.arange(n_cells, dtype=jnp.int32) * per_cell
+    cell_capacity = jnp.full((n_cells,), per_cell, jnp.int32)
+    q = jnp.asarray(rng.normal(size=(NQ, D)).astype(np.float32))
+    cells = jnp.asarray(
+        np.stack([rng.choice(n_cells, n_probe, replace=False)
+                  for _ in range(NQ)]).astype(np.int32))
+    mask = jnp.ones((NQ, n_probe), bool)
+    jax.block_until_ready(decoded)
+    print(f"stages: b_max={b_max} s_eff={s_eff} k_pair={k_pair}", flush=True)
+
+    pack = jax.jit(ft.partial(adc._pack_pairs, n_cells=n_cells,
+                              p_tile=p_tile, b_max=b_max))
+    dt = timeit(lambda: pack(cells, mask))
+    print(f"stage pack_pairs (argsort {n_pairs}): {dt:.1f} ms", flush=True)
+    order, pair_block, pair_slot, block_cell, probers = pack(cells, mask)
+
+    big = jnp.float32(jnp.finfo(jnp.float32).max / 4)
+
+    @jax.jit
+    def prep(block_cell, probers, norms, is_empty):
+        cell_all = jnp.maximum(block_cell, 0)
+        start_all = cell_start[cell_all]
+        cap_all = cell_capacity[cell_all]
+        penalty_arr = jnp.where(is_empty, big, norms)
+        start_c_all = jnp.clip(start_all, 0, cap - s_eff)
+        off_all = start_all - start_c_all
+        slot_iota = jnp.arange(s_eff, dtype=jnp.int32)
+        bc = 8
+
+        def pen_chunk(args):
+            start_c, off, capc = args
+            pen = jnp.stack([
+                jax.lax.dynamic_slice(penalty_arr, (start_c[i],), (s_eff,))
+                for i in range(bc)])
+            in_cell = ((slot_iota[None, :] >= off[:, None])
+                       & (slot_iota[None, :] < (off + capc)[:, None]))
+            return pen + jnp.where(in_cell, 0.0, big)
+
+        nbc = b_max // bc
+        pen_all = jax.lax.map(
+            pen_chunk, (start_c_all.reshape(nbc, bc),
+                        off_all.reshape(nbc, bc),
+                        cap_all.reshape(nbc, bc))).reshape(b_max, s_eff)
+        return start_c_all, pen_all
+
+    dt = timeit(lambda: prep(block_cell, probers, norms, is_empty))
+    print(f"stage pen staging [{b_max}x{s_eff}]: {dt:.1f} ms", flush=True)
+    start_c_all, pen_all = prep(block_cell, probers, norms, is_empty)
+
+    @jax.jit
+    def qgather(q, probers):
+        return q[jnp.maximum(probers, 0)].astype(jnp.bfloat16)
+
+    dt = timeit(lambda: qgather(q, probers))
+    print(f"stage qvecs gather [{b_max}x{p_tile}x{D}]: {dt:.1f} ms", flush=True)
+    qvecs_p = qgather(q, probers)
+
+    s_pow2 = util.next_pow2(s_eff)
+    slot_mask = s_pow2 - 1
+    dt = timeit(lambda: scan_blocks_pallas(
+        qvecs_p, start_c_all, pen_all, decoded, s_eff=s_eff, k_pair=k_pair,
+        p_tile=p_tile, distance="euclidean", approx=True,
+        slot_mask=slot_mask))
+    print(f"stage kernel [{b_max} blocks]: {dt:.1f} ms", flush=True)
+    combo = scan_blocks_pallas(
+        qvecs_p, start_c_all, pen_all, decoded, s_eff=s_eff, k_pair=k_pair,
+        p_tile=p_tile, distance="euclidean", approx=True, slot_mask=slot_mask)
+
+    key_neg_big = adc._f32_sortable_i32(-big) & jnp.int32(~slot_mask)
+    merge = jax.jit(ft.partial(
+        adc._merge_pairs, b_max=b_max, p_tile=p_tile, k=K, k_pair=k_pair,
+        nq=NQ, n_probe=n_probe, pack32=True, slot_mask=slot_mask,
+        key_neg_big=key_neg_big, distance="euclidean", big=big))
+    dt = timeit(lambda: merge(combo, q, order, pair_block, pair_slot,
+                              start_c_all))
+    print(f"stage merge: {dt:.1f} ms", flush=True)
+
+    @jax.jit
+    def reduce_out(vals, addr):
+        return jnp.sum(vals) + jnp.sum(addr).astype(jnp.float32)
+
+    dt = timeit(lambda: reduce_out(*adc.scan_cell_major(
+        q, cells, mask, decoded, norms, is_empty, cell_start, cell_capacity,
+        k=K, distance="euclidean", s_max=per_cell, n_cells=n_cells,
+        p_tile=p_tile, approx=True, impl="pallas")))
+    print(f"full scan_cell_major np={n_probe}: {dt:.1f} ms", flush=True)
+
+
+if __name__ == "__main__" and which in ("all", "stages"):
+    bench_stages()
