@@ -182,6 +182,19 @@ def make_sender(ingest):
     return jnp.asarray
 
 
+def stage_chunks(base, chunk):
+    """--ingest device: pre-stage every add chunk in HBM (bf16) BEFORE the
+    timer starts, so the measured add loop is pure encode+scatter compute.
+    Separates the framework from the host link: the dev tunnel moves only
+    ~80 MB/s, which dominates any wire-attached ingest timing (a 1M x 128d
+    bf16 upload alone is ~3.2 s of link time)."""
+    import ml_dtypes
+    out = [jnp.asarray(base[i:i + chunk].astype(ml_dtypes.bfloat16))
+           for i in range(0, len(base), chunk)]
+    jax.block_until_ready(out)
+    return out
+
+
 def recall_at_k(pred_ids, true_idx, ids_map, k):
     """pred_ids: [nq, k] ids; true_idx: [nq, k] base row indices."""
     true_ids = ids_map[true_idx[:, :k]]
@@ -215,10 +228,14 @@ def main():
                     help="also measure small-batch search latency (batch "
                          "1/16/256 — the query_major path; the throughput "
                          "sweep only exercises the big-batch planner)")
-    ap.add_argument("--ingest", default="bf16", choices=("f32", "bf16"),
+    ap.add_argument("--ingest", default="bf16",
+                    choices=("f32", "bf16", "device"),
                     help="wire dtype for add(): bf16 halves H2D bytes (the "
                          "decoded scan cache is bf16 anyway; PQ encode on "
-                         "bf16-rounded input moves recall by <0.1%%)")
+                         "bf16-rounded input moves recall by <0.1%%). "
+                         "'device' pre-stages all chunks in HBM before the "
+                         "timer, measuring encode+scatter compute only — "
+                         "the link-vs-framework separation")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -269,16 +286,22 @@ def main():
         train_s = time.perf_counter() - t0
         print(f"[bench] train: {train_s:.2f}s", file=sys.stderr)
 
-        t0 = time.perf_counter()
         add_chunk = 250_000
         all_ids = []
-        send = make_sender(args.ingest)
-        nxt = send(base[0:add_chunk])  # h2d dispatches async
-        for i in range(0, n_base, add_chunk):
-            cur, j = nxt, i + add_chunk
-            if j < n_base:  # prefetch overlaps the chunk's encode+scatter
-                nxt = send(base[j:j + add_chunk])
-            all_ids.append(np.asarray(index.add(cur.T)))
+        if args.ingest == "device":
+            chunks = stage_chunks(base, add_chunk)  # staged BEFORE the timer
+            t0 = time.perf_counter()
+            for cur in chunks:
+                all_ids.append(np.asarray(index.add(cur.T)))
+        else:
+            t0 = time.perf_counter()
+            send = make_sender(args.ingest)
+            nxt = send(base[0:add_chunk])  # h2d dispatches async
+            for i in range(0, n_base, add_chunk):
+                cur, j = nxt, i + add_chunk
+                if j < n_base:  # prefetch overlaps the chunk's encode+scatter
+                    nxt = send(base[j:j + add_chunk])
+                all_ids.append(np.asarray(index.add(cur.T)))
         jax.effects_barrier()
         add_s = time.perf_counter() - t0
         ids_map = np.concatenate(all_ids)
@@ -327,17 +350,34 @@ def main():
 
     latency_ms = {}
     if args.latency:
+        # null round-trip: dispatch + sync of a trivial op. On the dev
+        # tunnel this is tens of ms of pure link RTT that every synchronous
+        # search pays; production-host latency ~= measured - null_rtt.
+        one = jnp.ones((8, 8), jnp.float32)
+        r = jnp.dot(one, one)
+        jax.block_until_ready(r)
+        t0 = time.perf_counter()
+        for _ in range(30):
+            jax.block_until_ready(jnp.dot(one, one))
+        null_rtt = (time.perf_counter() - t0) / 30
+        latency_ms["null_rtt"] = round(null_rtt * 1e3, 3)
+        print(f"[bench] null dispatch+sync round-trip: "
+              f"{null_rtt * 1e3:.3f} ms", file=sys.stderr)
         # small-batch latency: auto mode plans the query_major scan below
         # the batch threshold; fresh query slices defeat any caching
         index.n_probe = args.n_probe
         for b in (1, 16, 256):
             n_iters = 30 if b <= 16 else 10
             offs = [(i * b) % max(n_query - b, 1) for i in range(n_iters)]
-            v, _ = index.search(qj[:, offs[0]:offs[0] + b], k=args.k)
+            # pre-materialized device batches: the timed loop must not pay
+            # per-offset slice-program compiles, only dispatch + scan + sync
+            batches = [qj[:, o:o + b] for o in offs]
+            jax.block_until_ready(batches)
+            v, _ = index.search(batches[0], k=args.k)
             jax.block_until_ready(v)
             t0 = time.perf_counter()
-            for o in offs:
-                v, _ = index.search(qj[:, o:o + b], k=args.k)
+            for qb in batches:
+                v, _ = index.search(qb, k=args.k)
                 jax.block_until_ready(v)
             dt = (time.perf_counter() - t0) / n_iters
             latency_ms[b] = round(dt * 1e3, 3)
@@ -365,14 +405,20 @@ def main():
         index2.spill_cells = 8
         index2.spill_capacity = index2.max_cell_capacity
         index2.scan_group = 4
-        send = make_sender(args.ingest)
-        t0 = time.perf_counter()
-        nxt = send(base[0:add_chunk])
-        for i in range(0, n_base, add_chunk):
-            cur, j = nxt, i + add_chunk
-            if j < n_base:
-                nxt = send(base[j:j + add_chunk])
-            last_ids = index2.add(cur.T)
+        if args.ingest == "device":
+            chunks = stage_chunks(base, add_chunk)
+            t0 = time.perf_counter()
+            for cur in chunks:
+                last_ids = index2.add(cur.T)
+        else:
+            send = make_sender(args.ingest)
+            t0 = time.perf_counter()
+            nxt = send(base[0:add_chunk])
+            for i in range(0, n_base, add_chunk):
+                cur, j = nxt, i + add_chunk
+                if j < n_base:
+                    nxt = send(base[j:j + add_chunk])
+                last_ids = index2.add(cur.T)
         jax.block_until_ready(last_ids)
         jax.effects_barrier()
         add_warm_s = time.perf_counter() - t0
@@ -413,6 +459,7 @@ def main():
             "add_s": round(add_s, 2),
             "train_warm_s": round(train_warm_s, 2),
             "add_warm_s": round(add_warm_s, 2),
+            "ingest": args.ingest,
             "baseline_train_s_T4": 4.45,
             "baseline_add_s_T4": 10.72,
             "n_base": n_base,

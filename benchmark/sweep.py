@@ -62,6 +62,13 @@ def main():
                          "--rerank-subvectors bytes/code)")
     ap.add_argument("--rerank-subvectors", type=int, default=32)
     ap.add_argument("--rerank-multiplier", type=int, default=4)
+    ap.add_argument("--n-bits", type=int, default=8, choices=(4, 8),
+                    help="4: packed-nibble PQ (16-cluster codebooks, "
+                         "n_subvectors/2 B per code)")
+    ap.add_argument("--no-spill", action="store_true",
+                    help="reference add semantics: every item in its argmax "
+                         "cell (the A/B against the default bounded-cell "
+                         "spill routing)")
     args = ap.parse_args()
 
     from bench import make_data, brute_force_topk, recall_at_k
@@ -85,7 +92,7 @@ def main():
         d_vector=d, n_subvectors=args.n_subvectors, n_cells=args.n_cells,
         distance=args.distance, pq_use_residual=args.residual,
         initial_size=max(16, (len(base) // args.n_cells) * args.initial_mult),
-        scan_cache_dtype=args.cache)
+        scan_cache_dtype=args.cache, n_bits=args.n_bits)
     if args.index == "ivfpqr":
         index = IVFPQRIndex(n_subvectors_rerank=args.rerank_subvectors,
                             rerank_multiplier=args.rerank_multiplier,
@@ -93,8 +100,9 @@ def main():
     else:
         index = IVFPQIndex(**kwargs)
     index.use_approx_topk = True
-    index.spill_cells = 8
-    index.spill_capacity = index.max_cell_capacity
+    if not args.no_spill:
+        index.spill_cells = 8
+        index.spill_capacity = index.max_cell_capacity
     index.scan_group = 4  # supercell grouping (see ops/adc.py)
 
     def _mem(tag):
@@ -173,7 +181,8 @@ def main():
         "dataset": name, "n_base": len(base), "d": d,
         "n_cells": args.n_cells, "n_subvectors": args.n_subvectors,
         "distance": args.distance, "residual": args.residual,
-        "index": args.index,
+        "index": args.index, "n_bits": args.n_bits,
+        "cache": args.cache, "spill": not args.no_spill,
         "train_s": round(train_s, 2), "add_s": round(add_s, 2),
         "device": str(jax.devices()[0]), "entries": entries,
     }

@@ -62,6 +62,35 @@ def test_sweep_records_probing_curve_and_flat(sweep_json):
     assert by_probe["flat"]["recall@10"] > 0.2
 
 
+def test_sweep_pq4_nospill_code_domain(sweep_json):
+    """The round-2 sweep knobs compose: 4-bit packed PQ + reference add
+    semantics (--no-spill) + the codes-only scan cache, in one run."""
+    sweep = _load(os.path.join(REPO, "benchmark", "sweep.py"), "_sweep_pq4")
+    argv = sys.argv
+    sys.argv = ["sweep.py", "--n-base", "2000", "--n-query", "64",
+                "--d", "32", "--n-cells", "64", "--n-subvectors", "8",
+                "--n-probes", "1", "4", "--ks", "10", "--repeats", "1",
+                "--n-bits", "4", "--no-spill", "--cache", "none",
+                "--name", "smoke4"]
+    try:
+        sweep.main()
+    finally:
+        sys.argv = argv
+    path = os.path.join(REPO, "benchmark", "results", "ivf64_pq8_smoke4.json")
+    try:
+        with open(path) as f:
+            out = json.load(f)
+        assert out["n_bits"] == 4 and out["spill"] is False
+        assert out["cache"] == "none"
+        by_probe = {e["n_probe"]: e for e in out["entries"]}
+        assert by_probe["flat"]["recall@10"] > 0.1  # 32-bit codes: lossy
+        for e in out["entries"]:
+            assert e["qps"] > 0
+    finally:
+        if os.path.exists(path):
+            os.remove(path)
+
+
 def test_plot_renders_from_sweep_json(sweep_json, tmp_path):
     plot = _load(os.path.join(REPO, "benchmark", "plot.py"), "_plot_smoke")
     results = plot.load_results(os.path.dirname(sweep_json), "smoke")

@@ -1,0 +1,202 @@
+"""4-bit PQ end-to-end (reference: ivfpq4_top1_v1.cu, IVFPQ4Top1Cuda_v1.py).
+
+TPU design: packed-nibble canonical storage + a byte-pair codebook view
+(codec/pq.py:paired_codebook) that makes packed bytes a plain 256-cluster
+code — every downstream path (decoded cache rebuild, one-hot code-domain
+scan, IVFPQR rerank decode) runs on packed storage with zero unpacking.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from torchpq_tpu.index import IVFPQIndex, IVFPQRIndex
+from torchpq_tpu.codec.pq import (PQCodec, _decode_nd, pack_nibbles,
+                                  unpack_nibbles, paired_codebook)
+
+
+def _mk(rng, d=32, m=8, n_cells=16, n=1500, cache="float32", **kw):
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    index = IVFPQIndex(d_vector=d, n_subvectors=m, n_cells=n_cells,
+                       n_bits=4, scan_cache_dtype=cache, initial_size=32,
+                       **kw)
+    index.train(jnp.asarray(x.T))
+    ids = np.asarray(index.add(jnp.asarray(x.T)))
+    return index, x, ids
+
+
+def test_paired_codebook_decode_identity(rng):
+    """Packed codes against the byte-pair codebook reconstruct bit-identically
+    to unpacked 4-bit codes against the original codebook."""
+    m, nc, dsub, n = 6, 16, 5, 257
+    cb = jnp.asarray(rng.normal(size=(m, nc, dsub)).astype(np.float32))
+    codes = rng.integers(0, nc, size=(m, n)).astype(np.uint8)
+    packed = pack_nibbles(jnp.asarray(codes))
+    np.testing.assert_array_equal(
+        np.asarray(unpack_nibbles(packed)), codes)
+    want = _decode_nd(jnp.asarray(codes.T), cb, m=m, dsub=dsub)
+    got = _decode_nd(packed.T, paired_codebook(cb), m=m // 2, dsub=2 * dsub)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_pq4_storage_is_packed(rng):
+    index, x, ids = _mk(rng)
+    assert index._storage.shape[1] == index.n_subvectors // 2
+    assert index.pq_codec.n_clusters == 16
+    # stored bytes decode to exactly what the codec reconstructs
+    codes = index.pq_codec.encode_nd(jnp.asarray(x))
+    want = np.asarray(index.pq_codec.decode_nd(codes))
+    addr = np.asarray(index.get_address_by_id(jnp.asarray(ids)))
+    got = np.asarray(index._decode_stored(index._storage[addr]))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_pq4_full_probe_equals_pq_bruteforce(rng):
+    """n_probe = n_cells 4-bit search == brute force over the (4-bit)
+    decoded reconstructions."""
+    index, x, ids = _mk(rng, n_cells=8, n=800)
+    nq, k = 6, 10
+    q = rng.normal(size=(nq, index.d_vector)).astype(np.float32)
+    index.n_probe = index.n_cells
+    index.use_smart_probing = False
+    vals, got_ids = index.search(jnp.asarray(q.T), k=k)
+    decoded = np.asarray(index.aux("decoded")).astype(np.float32)
+    a2i = np.asarray(index._address2id)
+    live = a2i >= 0
+    s = -((q[:, None] - decoded[None]) ** 2).sum(-1)
+    s[:, ~live] = -np.inf
+    order = np.argsort(-s, axis=1)[:, :k]
+    want_ids = a2i[order]
+    agree = (np.asarray(got_ids) == want_ids).mean()
+    assert agree > 0.99, f"agreement {agree}"
+
+
+@pytest.mark.parametrize("cache", ["float32", "none"])
+def test_pq4_code_domain_matches_cache(rng, cache):
+    """The code-domain (packed one-hot) 4-bit scan returns the same
+    neighbors as the decoded-cache scan."""
+    rng2 = np.random.default_rng(7)
+    x = rng2.normal(size=(1200, 32)).astype(np.float32)
+    q = rng2.normal(size=(9, 32)).astype(np.float32)
+    ref = None
+    for c in ["float32", cache]:
+        index = IVFPQIndex(d_vector=32, n_subvectors=8, n_cells=16,
+                           n_bits=4, scan_cache_dtype=c, initial_size=32)
+        index.train(jnp.asarray(x.T))
+        index.add(jnp.asarray(x.T))
+        index.n_probe = 16
+        index.use_smart_probing = False
+        vals, ids = index.search(jnp.asarray(q.T), k=8)
+        if ref is None:
+            ref = (np.asarray(vals), np.asarray(ids))
+        else:
+            # the score vectors are the strong check — 16-cluster codes
+            # produce many EXACTLY tied candidates, so the id sets may
+            # legitimately differ wherever ties cross the k boundary
+            np.testing.assert_allclose(np.asarray(vals), ref[0],
+                                       rtol=2e-3, atol=2e-3)
+            got = np.asarray(ids)
+            overlap = np.mean([len(set(got[i]) & set(ref[1][i])) / 8
+                               for i in range(len(got))])
+            assert overlap > 0.8, f"cache={c} overlap {overlap}"
+
+
+def test_pq4_recall_between_random_and_8bit(rng):
+    """4-bit quality sanity on clustered data: far above chance, at or below
+    8-bit with the same m (half the code bytes -> coarser quantization)."""
+    nc_data, n, d, nq, k = 20, 4000, 32, 32, 10
+    centers = rng.normal(size=(nc_data, d)).astype(np.float32) * 3
+    lab = rng.integers(0, nc_data, size=n)
+    x = centers[lab] + rng.normal(size=(n, d)).astype(np.float32)
+    q = x[rng.choice(n, nq, replace=False)] + 0.05 * rng.normal(
+        size=(nq, d)).astype(np.float32)
+    gt = np.argsort(((q[:, None] - x[None]) ** 2).sum(-1), axis=1)[:, :k]
+
+    def recall(n_bits):
+        index = IVFPQIndex(d_vector=d, n_subvectors=8, n_cells=16,
+                           n_bits=n_bits, initial_size=64)
+        index.train(jnp.asarray(x.T))
+        ids = np.asarray(index.add(jnp.asarray(x.T)))
+        index.n_probe = 16
+        _, got = index.search(jnp.asarray(q.T), k=k)
+        got = np.asarray(got)
+        return np.mean([np.isin(ids[gt[i]], got[i]).mean()
+                        for i in range(nq)])
+
+    r4, r8 = recall(4), recall(8)
+    # measured: r4 ~ 0.17, r8 ~ 0.5+ on this data — 8 subvectors x 4 bits
+    # is a 32-bit code, so heavy distortion is the EXPECTED behavior
+    # (chance level is k/n = 0.0025)
+    assert r4 > 0.05, f"4-bit recall {r4}"
+    assert r8 >= r4 - 0.02, f"8-bit {r8} should not trail 4-bit {r4}"
+
+
+def test_pq4_similarity_at_address_code_domain(rng):
+    index, x, ids = _mk(rng, cache="none", n=600)
+    q = rng.normal(size=(4, index.d_vector)).astype(np.float32)
+    addr = np.asarray(index.get_address_by_id(jnp.asarray(ids[:32])))
+    sims = np.asarray(index.similarity_at_address(jnp.asarray(q.T), addr))
+    dec = np.asarray(index._decode_stored(index._storage[addr]))
+    want = -((q[:, None] - dec[None]) ** 2).sum(-1)
+    np.testing.assert_allclose(sims, want, rtol=2e-3, atol=2e-3)
+
+
+def test_pq4_remove_and_relayout_rebuild(rng):
+    """Removal + growth-triggered relayout keep the 4-bit decoded cache
+    consistent with the packed codes."""
+    index, x, ids = _mk(rng, n=900)
+    index.remove(jnp.asarray(ids[100:300]))
+    more = rng.normal(size=(800, index.d_vector)).astype(np.float32)
+    index.add(jnp.asarray(more.T))  # forces cell growth -> aux rebuild
+    addr = np.asarray(index.get_address_by_id(jnp.asarray(ids[:50])))
+    want = np.asarray(index._decode_stored(index._storage[addr]))
+    got = np.asarray(index.aux("decoded")[addr]).astype(np.float32)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_pq4_ivfpqr_rerank(rng):
+    """IVFPQR over a 4-bit base: rerank decodes packed base bytes via the
+    byte-pair codebook and must beat the base-only search."""
+    nc_data, n, d, nq, k = 12, 3000, 32, 24, 10
+    centers = rng.normal(size=(nc_data, d)).astype(np.float32) * 3
+    x = centers[rng.integers(0, nc_data, size=n)] \
+        + rng.normal(size=(n, d)).astype(np.float32)
+    q = x[rng.choice(n, nq, replace=False)] + 0.05 * rng.normal(
+        size=(nq, d)).astype(np.float32)
+    gt = np.argsort(((q[:, None] - x[None]) ** 2).sum(-1), axis=1)[:, :k]
+
+    base = IVFPQIndex(d_vector=d, n_subvectors=8, n_cells=8, n_bits=4,
+                      initial_size=64)
+    rr = IVFPQRIndex(d_vector=d, n_subvectors=8, n_subvectors_rerank=8,
+                     n_cells=8, n_bits=4, initial_size=64)
+    recalls = {}
+    for name, index in (("base", base), ("rerank", rr)):
+        index.train(jnp.asarray(x.T))
+        ids = np.asarray(index.add(jnp.asarray(x.T)))
+        index.n_probe = 8
+        _, got = index.search(jnp.asarray(q.T), k=k)
+        got = np.asarray(got)
+        recalls[name] = np.mean([np.isin(ids[gt[i]], got[i]).mean()
+                                 for i in range(nq)])
+    # measured: base ~ 0.16, rerank ~ 0.39 — the rerank stage must deliver
+    # a decisive lift over the 32-bit base code (it is bounded above by the
+    # base scan's recall@(k*multiplier), not by 1.0)
+    assert recalls["rerank"] >= recalls["base"] + 0.1, recalls
+
+
+def test_pq4_save_load(rng, tmp_path):
+    index, x, ids = _mk(rng, n=600)
+    q = rng.normal(size=(5, index.d_vector)).astype(np.float32)
+    index.n_probe = 8
+    want_v, want_i = index.search(jnp.asarray(q.T), k=5)
+    path = str(tmp_path / "pq4.npz")
+    index.save(path)
+    fresh = IVFPQIndex(d_vector=index.d_vector, n_subvectors=8, n_cells=16,
+                       n_bits=4, scan_cache_dtype="float32", initial_size=32)
+    fresh.load(path)
+    fresh.n_probe = 8
+    got_v, got_i = fresh.search(jnp.asarray(q.T), k=5)
+    np.testing.assert_allclose(np.asarray(got_v), np.asarray(want_v),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))

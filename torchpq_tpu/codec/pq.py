@@ -159,3 +159,25 @@ def unpack_nibbles(packed):
     out = out.at[0::2].set(packed // 16)
     out = out.at[1::2].set(packed % 16)
     return out
+
+
+@jax.jit
+def paired_codebook(codebook):
+    """4-bit codebook [m, 16, dsub] -> byte-pair codebook [m//2, 256, 2*dsub]
+    with entry (i, hi*16+lo) = concat(codebook[2i, hi], codebook[2i+1, lo]).
+
+    This is the TPU translation of the reference's packed 4-bit PQ
+    (ivfpq4_top1_v1.cu, IVFPQ4Top1Cuda_v1.py:17-28): instead of unpacking
+    nibbles in the inner loop, treat each packed BYTE as a code over a
+    256-entry codebook of double-width subvectors. Packed codes against this
+    codebook are bit-identical in meaning to unpacked 4-bit codes against the
+    original for every per-subvector-decomposable quantity — decode
+    (concatenation), inner-product/euclidean ADC tables (sums), and manhattan
+    (L1 sums) — so the entire downstream machinery (decoded-cache rebuild,
+    one-hot code-domain scan, rerank decode) runs on packed storage unchanged.
+    """
+    m, nc, dsub = codebook.shape
+    assert m % 2 == 0 and nc == 16
+    hi = jnp.repeat(codebook[0::2], nc, axis=1)   # index b -> b // 16
+    lo = jnp.tile(codebook[1::2], (1, nc, 1))     # index b -> b %  16
+    return jnp.concatenate([hi, lo], axis=-1)

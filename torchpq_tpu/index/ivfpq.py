@@ -267,12 +267,22 @@ class IVFPQIndex(CellContainer):
                  initial_size=None, expand_step_size=128,
                  expand_mode="double", distance="euclidean", device=None,
                  pq_use_residual=False, verbose=0,
-                 scan_cache_dtype=None, scan_mode="auto", seed=0):
+                 scan_cache_dtype=None, scan_mode="auto", n_bits=8, seed=0):
         assert d_vector % n_subvectors == 0
+        assert n_bits in (4, 8), "n_bits must be 4 or 8"
+        if n_bits == 4:
+            # packed-nibble storage: two 16-cluster codes per byte (the
+            # reference's 4-bit layout, ivfpq4_top1_v1.cu). All consumers of
+            # the packed bytes go through _scan_codebook (a byte-pair view of
+            # the 16-entry codebooks — see codec/pq.py:paired_codebook), so
+            # nothing downstream ever unpacks.
+            assert n_subvectors % 2 == 0, "4-bit PQ needs even n_subvectors"
+        self.n_bits = int(n_bits)
         if initial_size is None:
             initial_size = expand_step_size
+        code_bytes = n_subvectors // 2 if n_bits == 4 else n_subvectors
         super().__init__(
-            code_size=n_subvectors, n_cells=n_cells, dtype="uint8",
+            code_size=code_bytes, n_cells=n_cells, dtype="uint8",
             device=device, initial_size=initial_size,
             expand_step_size=expand_step_size, expand_mode=expand_mode,
             use_inverse_id_mapping=True, contiguous_size=4, verbose=verbose)
@@ -329,7 +339,8 @@ class IVFPQIndex(CellContainer):
             distance="euclidean", init_mode="random", verbose=verbose,
             seed=seed))
         self.register_module("pq_codec", PQCodec(
-            d_vector=d_vector, n_subvectors=n_subvectors, n_clusters=256,
+            d_vector=d_vector, n_subvectors=n_subvectors,
+            n_clusters=16 if n_bits == 4 else 256,
             distance=distance, verbose=verbose, seed=seed))
         self._ivfpq_topk = IVFPQTopk(n_cells=n_cells, mode=scan_mode)
         # compacted flat-scan cache: (mutation counter it was built at,
@@ -367,7 +378,7 @@ class IVFPQIndex(CellContainer):
             c0 = min(i * chunk, cap - chunk)
             db, nb, sb = _cache_chunk(
                 self._storage, self._cell_start,
-                self.pq_codec.codebook_internal, vq_rows, c0, chunk=chunk,
+                self._scan_codebook, vq_rows, c0, chunk=chunk,
                 int8=self._int8_cache, out_dtype=dec_dt,
                 residual=self.pq_use_residual)
             if dec is not None:
@@ -448,6 +459,37 @@ class IVFPQIndex(CellContainer):
     @property
     def is_trained(self):
         return self.vq_codec.is_trained and self.pq_codec.is_trained
+
+    # ---- packed-storage view (n_bits=4) ----
+    def _pack_codes(self, codes_nm):
+        """Codec codes [n, m] -> canonical stored bytes [n, code_size]."""
+        if self.n_bits == 8:
+            return codes_nm
+        return (codes_nm[:, 0::2] * 16 + codes_nm[:, 1::2]).astype(jnp.uint8)
+
+    @property
+    def _scan_codebook(self):
+        """Codebook matching the STORED bytes: the PQ codebook itself at
+        n_bits=8, the byte-pair view (codec/pq.py:paired_codebook) at
+        n_bits=4. Every consumer of self._storage decodes/scores against
+        this, so packed nibbles never need unpacking. Cached against the
+        centroid array's identity (changes on train/load only)."""
+        cb = self.pq_codec.codebook_internal
+        if self.n_bits == 8:
+            return cb
+        cached = getattr(self, "_paired_cb", None)
+        if cached is None or cached[0] is not cb:
+            from ..codec.pq import paired_codebook
+            cached = (cb, paired_codebook(cb))
+            self._paired_cb = cached
+        return cached[1]
+
+    def _decode_stored(self, codes):
+        """Stored bytes [n, code_size] -> [n, d] reconstruction."""
+        from ..codec.pq import _decode_nd
+        cb = self._scan_codebook
+        m, _, dsub = cb.shape
+        return _decode_nd(jnp.asarray(codes), cb, m=m, dsub=dsub)
 
     # codec hyperparameter pass-throughs (reference IVFPQIndex.py:172-232)
     @property
@@ -569,8 +611,8 @@ class IVFPQIndex(CellContainer):
         else:
             aux_rows["decoded"] = decoded
         return super().add(
-            codes_nm.T, cells, ids=ids, return_address=return_address,
-            aux_rows=aux_rows)
+            self._pack_codes(codes_nm).T, cells, ids=ids,
+            return_address=return_address, aux_rows=aux_rows)
 
     # ---- search (reference IVFPQIndex.py:407-524) ----
     def search_cells(self, x, cells, probe_mask=None, k=1,
@@ -597,7 +639,7 @@ class IVFPQIndex(CellContainer):
             scales=self.aux("scale")[:, 0] if self._int8_cache else None,
             mode=self.scan_mode, approx=self._use_approx_topk,
             impl=self.scan_impl, group=self.scan_group, precision=precision,
-            pq_codebook=(self.pq_codec.codebook_internal
+            pq_codebook=(self._scan_codebook
                          if self._code_domain else None))
         ids = self.get_id_by_address(addr)
         ids = jnp.where(addr >= 0, ids, -1)
@@ -750,7 +792,7 @@ class IVFPQIndex(CellContainer):
                 codes_c, nrm_c, emp_c, amap_c = self._flat_compacted_codes()
                 vals, ids, addr = _search_flat_codes(
                     q, codes_c, nrm_c, emp_c, amap_c, self._address2id,
-                    self.pq_codec.codebook_internal, k=int(k),
+                    self._scan_codebook, k=int(k),
                     distance=self.distance, approx=self._use_approx_topk,
                     precision=precision)
             else:
@@ -758,7 +800,7 @@ class IVFPQIndex(CellContainer):
                     q, self.vq_codec.kmeans._centroids[0], self._storage,
                     self.aux("norm")[:, 0], self._is_empty,
                     self._cell_start, self._cell_capacity,
-                    self._address2id, self.pq_codec.codebook_internal,
+                    self._address2id, self._scan_codebook,
                     jnp.float32(self._smart_probing_temperature),
                     k=int(k), n_probe=n_probe,
                     use_smart=self._use_smart_probing, precision=precision,
@@ -826,7 +868,7 @@ class IVFPQIndex(CellContainer):
         valid = valid & ~self._is_empty[safe]
         if self._code_domain:
             # no cache: decode the few requested rows from their codes
-            y = self.pq_codec.decode_nd(self._storage[safe])
+            y = self._decode_stored(self._storage[safe])
         else:
             y = self.aux("decoded")[safe].astype(jnp.float32)
         if self._int8_cache:

@@ -121,8 +121,8 @@ class IVFPQRIndex(IVFPQIndex):
             aux_rows["decoded"] = decoded
         from ..container.cell import CellContainer
         return CellContainer.add(
-            self, codes_nm.T, cells, ids=ids, return_address=return_address,
-            aux_rows=aux_rows)
+            self, self._pack_codes(codes_nm).T, cells, ids=ids,
+            return_address=return_address, aux_rows=aux_rows)
 
     def search(self, x, k=1, return_address=False):
         """Two-stage search: base IVFPQ scan widened by rerank_multiplier,
@@ -134,15 +134,18 @@ class IVFPQRIndex(IVFPQIndex):
         k_base = int(k) * self.rerank_multiplier
         _, _, cand_addr = super().search(x, k=k_base, return_address=True)
         q = x.T
-        pq = self.pq_codec
         rr = self.rerank_codec
+        # decode stored bytes against the storage-matching codebook — at
+        # n_bits=4 that is the byte-pair view over packed nibbles
+        scb = self._scan_codebook
+        ms, _, dsubs = scb.shape
         vals, addr = _rerank_from_codes(
             q, cand_addr, self._storage, self.aux("rerank_codes"),
-            self._cell_start, pq.codebook_internal, rr.codebook_internal,
+            self._cell_start, scb, rr.codebook_internal,
             (self.vq_codec.kmeans._centroids[0] if self.pq_use_residual
              else None), self._is_empty,
             k=int(k), distance=self.distance, residual=self.pq_use_residual,
-            m=pq.n_subvectors, dsub=pq.d_subvector,
+            m=int(ms), dsub=int(dsubs),
             mr=rr.n_subvectors, dsubr=rr.d_subvector)
         ids = self.get_id_by_address(addr)
         ids = jnp.where(addr >= 0, ids, -1)
