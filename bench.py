@@ -83,10 +83,23 @@ def make_data(n_base, n_query, d, seed=0, n_centers=1000, intrinsic=8,
         d_int = int(spectrum.split("-")[1]) if "-" in spectrum else 16
         w = rng.normal(size=(d_int, d)).astype(np.float32) / np.sqrt(d_int)
 
+        # Chunked f32 sampling with one reused noise buffer. This host
+        # faults fresh anonymous pages at ~10 MB/s (measured; reuse is
+        # 57 GB/s), so the original one-shot f64 noise draw — 7.7 GB at
+        # 1M x 960 — stalled for hours in the kernel. Unique bytes touched
+        # here = the output array + one ~128 MB scratch, nothing else.
         def msample(n):
-            z = rng.normal(size=(n, d_int)).astype(np.float32)
-            out = z @ w
-            out += 0.02 * rng.normal(size=(n, d)).astype(np.float32)
+            out = np.empty((n, d), np.float32)
+            chunk = max(1, (1 << 25) // d)
+            noise = np.empty((chunk, d), np.float32)
+            for i in range(0, n, chunk):
+                j = min(i + chunk, n)
+                z = rng.standard_normal((j - i, d_int), dtype=np.float32)
+                np.matmul(z, w, out=out[i:j])
+                nz = noise[: j - i]
+                rng.standard_normal(dtype=np.float32, out=nz)
+                nz *= 0.02
+                out[i:j] += nz
             return out
 
         base, query = msample(n_base), msample(n_query)
@@ -98,17 +111,21 @@ def make_data(n_base, n_query, d, seed=0, n_centers=1000, intrinsic=8,
     bases /= np.linalg.norm(bases, axis=-1, keepdims=True)
 
     def sample(n):
-        # rng draw order matches the original unchunked version exactly
-        # (same datasets -> GT/state caches stay valid); only the
-        # bases[labels] gather + einsum run chunked
+        # Chunked f32 draws with a reused noise buffer (same rationale as
+        # msample above: ~10 MB/s first-touch on this host makes any
+        # one-shot [n, d] f64 temporary a multi-hour kernel stall).
         labels = rng.integers(0, n_centers, size=n)
-        z = rng.normal(size=(n, intrinsic)).astype(np.float32)
+        z = rng.standard_normal((n, intrinsic), dtype=np.float32)
         out = centers[labels]
+        noise = np.empty((min(n, 100_000), d), np.float32)
         for i in range(0, n, 100_000):
             j = min(i + 100_000, n)
             out[i:j] += np.einsum(
                 "ni,nid->nd", z[i:j], bases[labels[i:j]]) * 0.5
-        out += 0.02 * rng.normal(size=(n, d)).astype(np.float32)
+            nz = noise[: j - i]
+            rng.standard_normal(dtype=np.float32, out=nz)
+            nz *= 0.02
+            out[i:j] += nz
         return out.astype(np.float32, copy=False)
 
     base, query = sample(n_base), sample(n_query)

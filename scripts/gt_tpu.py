@@ -103,6 +103,9 @@ def main():
     ap.add_argument("--xl", action="store_true")
     ap.add_argument("--check-1m", action="store_true")
     ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--d", type=int, default=128)
+    ap.add_argument("--n-base", type=int, default=1_000_000)
+    ap.add_argument("--n-query", type=int, default=10_000)
     ap.add_argument("--spectrum", default="flat")
     ap.add_argument("--metric", default="euclidean",
                     choices=("euclidean", "inner", "cosine"))
@@ -133,8 +136,8 @@ def main():
     if args.xl:
         n_base, n_query, key = 10_000_000, 10_000, "xl"
     else:
-        n_base, n_query, key = 1_000_000, 10_000, "full"
-    base, query = make_data(n_base, n_query, 128,
+        n_base, n_query, key = args.n_base, args.n_query, "full"
+    base, query = make_data(n_base, n_query, args.d,
                             spectrum=args.spectrum)
     got = gt_on_tpu(base, query, args.k, metric=args.metric)
     key = args.key or key
