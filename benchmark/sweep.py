@@ -161,21 +161,23 @@ def main():
             # high-n_probe row would just repeat the "flat" entry
             index.scan_mode = "cell_major"
             index.n_probe = n_probe
-        vals, pred = index.search(qj, k=k_max)
-        jax.block_until_ready(vals)
-        t0 = time.perf_counter()
-        for _ in range(args.repeats):
-            vals, pred = index.search(qj, k=k_max)
-        jax.block_until_ready(vals)
-        dt = (time.perf_counter() - t0) / args.repeats
-        pred_np = np.asarray(pred)
-        recalls = {f"recall@{k}": round(
-            recall_at_k(pred_np[:, :k], gt[:, :k], ids_map, k), 4)
-            for k in args.ks}
-        entry = {"n_probe": n_probe, "k": k_max,
-                 "qps": round(len(query) / dt, 1), **recalls}
-        entries.append(entry)
-        print(entry, file=sys.stderr)
+        # each k is timed at ITS OWN search (a k=100 search is slower than
+        # k=10 — one shared k_max timing would overstate small-k cost)
+        for k in args.ks:
+            vals, pred = index.search(qj, k=k)
+            jax.block_until_ready(vals)
+            t0 = time.perf_counter()
+            for _ in range(args.repeats):
+                vals, pred = index.search(qj, k=k)
+            jax.block_until_ready(vals)
+            dt = (time.perf_counter() - t0) / args.repeats
+            pred_np = np.asarray(pred)
+            entry = {"n_probe": n_probe, "k": k,
+                     "qps": round(len(query) / dt, 1),
+                     f"recall@{k}": round(
+                         recall_at_k(pred_np, gt[:, :k], ids_map, k), 4)}
+            entries.append(entry)
+            print(entry, file=sys.stderr)
 
     out = {
         "dataset": name, "n_base": len(base), "d": d,

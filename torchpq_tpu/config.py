@@ -22,6 +22,13 @@ SCAN_CACHE_DTYPE = "bfloat16"
 # Default chunk sizes (elements) used to bound intermediate buffers.
 MAX_SIM_CHUNK_ELEMS = 1 << 26  # ~64M f32 elems = 256 MiB score chunks
 
+# approx_max_k recall target for COARSE cell selection. 0.99 was measured
+# 3-9x slower than the 0.95 default at the 1M bench shape ([10k, 4096]
+# scores: 25.9 ms vs ~3 ms at n_probe=32) for <0.2% end recall difference —
+# a missed 33rd-best cell rarely holds a true neighbor, and smart probing
+# already masks the probe tail. Raise it for tiny n_probe if needed.
+COARSE_RECALL_TARGET = 0.95
+
 
 def set_search_precision(p):
     global SEARCH_PRECISION

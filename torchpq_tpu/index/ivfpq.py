@@ -51,8 +51,8 @@ def _coarse_probe(query, coarse_codebook, temperature, *, n_probe, use_smart,
     sims = negative_squared_l2_distance(query, coarse_codebook,
                                         precision=precision)
     if approx and n_probe < sims.shape[-1]:
-        topk_sims, cells = jax.lax.approx_max_k(sims, n_probe,
-                                                recall_target=0.99)
+        topk_sims, cells = jax.lax.approx_max_k(
+            sims, n_probe, recall_target=config.COARSE_RECALL_TARGET)
     else:
         topk_sims, cells = jax.lax.top_k(sims, n_probe)
     if use_smart and n_probe > 1:

@@ -241,46 +241,114 @@ def _sortable_i32_f32(key):
     return jax.lax.bitcast_convert_type(u, jnp.float32)
 
 
-def _pack_pairs(cells, probe_mask, *, n_cells, p_tile, b_max):
-    """Sort probed (query, cell) pairs by cell and pack them into blocks of
-    up to p_tile probers of one cell (static shapes throughout; masked
-    probes sort last and land in the dropped pseudo-block b_max).
+# [nq, n_cells] histogram budget for the counting-rank pack; beyond this
+# the argsort fallback wins on memory (e.g. 10k queries x 256k cells)
+_COUNTING_PACK_BYTES = 256 * 1024 * 1024
 
-    Returns (order, pair_block, pair_slot, block_cell, probers):
-    order: sorted-pair -> original-pair permutation; pair_block/pair_slot
-    place each *sorted* pair in the [b_max, p_tile] grid; block_cell [b_max]
-    is each block's cell (-1 pad); probers [b_max, p_tile] its query rows.
+
+def _pack_pairs(cells, probe_mask, *, n_cells, p_tile, b_max):
+    """Group probed (query, cell) pairs by cell and pack them into blocks of
+    up to p_tile probers of one cell (static shapes throughout; masked
+    probes land in the dropped pseudo-block b_max).
+
+    Returns (pair_block, pair_slot, block_cell, probers), all in ORIGINAL
+    pair order: pair_block/pair_slot [n_pairs] place each pair in the
+    [b_max, p_tile] grid; block_cell [b_max] is each block's cell (-1 pad);
+    probers [b_max, p_tile] its query rows.
+
+    Fast path (counting rank): each query's probe list holds DISTINCT
+    cells (it's a top-k over cells), so a pair (q, c)'s rank within cell
+    c's prober list is exactly the number of queries q' < q that probe c —
+    one scatter-add histogram + a cumsum over the query axis, no sort.
+    Measured vs the n_pairs argsort at the 1M bench shape: 18 ms -> ~3 ms
+    at 320k pairs, 67 ms -> ~4 ms at 1.28M pairs. The argsort remains as
+    the fallback when the [nq, n_cells] histogram would be too large.
     """
     nq, n_probe = cells.shape
     n_pairs = nq * n_probe
-    flat_cells = jnp.where(probe_mask.reshape(-1), cells.reshape(-1),
-                           jnp.int32(n_cells))  # masked probes sort last
-    query_of = jnp.repeat(jnp.arange(nq, dtype=jnp.int32), n_probe)
-    order = jnp.argsort(flat_cells)
-    sorted_cells = flat_cells[order]
-    sorted_q = query_of[order]
-    # rank of each pair within its cell's prober list
-    cell_first = jnp.searchsorted(sorted_cells, jnp.arange(n_cells),
-                                  side="left").astype(jnp.int32)
-    cell_count = (jnp.searchsorted(sorted_cells, jnp.arange(n_cells),
-                                   side="right").astype(jnp.int32)
-                  - cell_first)
-    pair_idx = jnp.arange(n_pairs, dtype=jnp.int32)
-    safe_cell = jnp.minimum(sorted_cells, n_cells - 1)
-    rank = pair_idx - cell_first[safe_cell]
-    blocks_per_cell = util.cdiv(cell_count, p_tile)
-    block_offset = jnp.concatenate(
-        [jnp.zeros(1, jnp.int32), jnp.cumsum(blocks_per_cell)[:-1]])
-    pair_block = jnp.where(sorted_cells < n_cells,
-                           block_offset[safe_cell] + rank // p_tile,
-                           jnp.int32(b_max))  # invalid pairs -> dropped
-    pair_slot = rank % p_tile
+    # the counting pack's fixed cost is the [nq, n_cells] histogram cumsum;
+    # the argsort's grows with n_pairs. Measured crossover at the 1M bench
+    # shape (nq=10k, 4096 cells): argsort wins at n_probe=8 (8.6 vs 12.8 ms),
+    # counting wins at n_probe=32 (18 -> ~13 ms) and 128 (67 -> ~13 ms).
+    if (nq * n_cells * 4 <= _COUNTING_PACK_BYTES
+            and n_cells <= 256 * n_probe):
+        live = probe_mask
+        safe_cells = jnp.where(live, cells, 0)
+        q_rows = jnp.broadcast_to(
+            jnp.arange(nq, dtype=jnp.int32)[:, None], cells.shape)
+        # compare-reduce histogram: the scatter-add formulation costs
+        # ~45 ns/pair on TPU (scatters don't vectorize); the [nq, n_probe,
+        # n_cells] compare fuses into its sum and runs on the VPU. Counts
+        # <= n_probe are exact in bf16 up to 256 (halves matmul bytes).
+        cell_ids = jnp.arange(n_cells, dtype=jnp.int32)
+        hdtype = jnp.bfloat16 if n_probe <= 256 else jnp.float32
+        hist = jnp.sum(
+            (cells[:, :, None] == cell_ids[None, None, :])
+            & live[:, :, None], axis=1, dtype=hdtype)
+        # exclusive cumsum over the query axis as a strict-lower-triangular
+        # MXU matmul per 128-query block + tiny block-offset cumsum: the
+        # direct jnp.cumsum over [nq, n_cells] i32 measured ~10 ms at the
+        # 1M bench shape, the matmul form is traffic-bound (~1 ms). Exact:
+        # inputs are small integers (bf16-exact <= 256), accumulation f32
+        # (exact <= 2^24 = 16M queries).
+        blk = 128
+        nq_pad = util.round_up(nq, blk)
+        hist_p = (jnp.pad(hist, ((0, nq_pad - nq), (0, 0)))
+                  if nq_pad != nq else hist)
+        hb = hist_p.reshape(nq_pad // blk, blk, n_cells)
+        tril_strict = jnp.tril(
+            jnp.ones((blk, blk), hdtype), k=-1)
+        excl_b = jnp.einsum("rs,bsc->brc", tril_strict, hb,
+                            preferred_element_type=jnp.float32)
+        tots = jnp.sum(hb, axis=1, dtype=jnp.float32)  # [nb, n_cells]
+        offs = jnp.cumsum(tots, axis=0) - tots  # exclusive block offsets
+        excl = (excl_b + offs[:, None, :]).reshape(
+            nq_pad, n_cells)[:nq].astype(jnp.int32)
+        cell_count = (offs[-1] + tots[-1]).astype(jnp.int32)
+        # exclusive cumsum at (q, c) = rank of q among c's probers
+        rank = jnp.take_along_axis(excl, safe_cells, axis=1)
+        blocks_per_cell = util.cdiv(cell_count, p_tile)
+        block_offset = jnp.concatenate(
+            [jnp.zeros(1, jnp.int32), jnp.cumsum(blocks_per_cell)[:-1]])
+        pair_block = jnp.where(
+            live, block_offset[safe_cells] + rank // p_tile,
+            jnp.int32(b_max)).reshape(-1)
+        pair_slot = (rank % p_tile).reshape(-1)
+        flat_cells = cells.reshape(-1)
+        flat_q = q_rows.reshape(-1)
+    else:
+        flat_cells = jnp.where(probe_mask.reshape(-1), cells.reshape(-1),
+                               jnp.int32(n_cells))  # masked probes sort last
+        flat_q = jnp.repeat(jnp.arange(nq, dtype=jnp.int32), n_probe)
+        order = jnp.argsort(flat_cells)
+        sorted_cells = flat_cells[order]
+        # rank of each pair within its cell's prober list
+        cell_first = jnp.searchsorted(sorted_cells, jnp.arange(n_cells),
+                                      side="left").astype(jnp.int32)
+        cell_count = (jnp.searchsorted(sorted_cells, jnp.arange(n_cells),
+                                       side="right").astype(jnp.int32)
+                      - cell_first)
+        pair_idx = jnp.arange(n_pairs, dtype=jnp.int32)
+        safe_cell = jnp.minimum(sorted_cells, n_cells - 1)
+        rank = pair_idx - cell_first[safe_cell]
+        blocks_per_cell = util.cdiv(cell_count, p_tile)
+        block_offset = jnp.concatenate(
+            [jnp.zeros(1, jnp.int32), jnp.cumsum(blocks_per_cell)[:-1]])
+        pb_sorted = jnp.where(sorted_cells < n_cells,
+                              block_offset[safe_cell] + rank // p_tile,
+                              jnp.int32(b_max))  # invalid pairs -> dropped
+        ps_sorted = rank % p_tile
+        # back to original pair order (the merge consumes original order)
+        inv = jnp.zeros((n_pairs,), jnp.int32).at[order].set(
+            jnp.arange(n_pairs, dtype=jnp.int32))
+        pair_block = pb_sorted[inv]
+        pair_slot = ps_sorted[inv]
 
     block_cell = jnp.full((b_max,), -1, jnp.int32).at[pair_block].set(
-        sorted_cells, mode="drop")
+        flat_cells, mode="drop")
     probers = jnp.full((b_max, p_tile), -1, jnp.int32).at[
-        pair_block, pair_slot].set(sorted_q, mode="drop")
-    return order, pair_block, pair_slot, block_cell, probers
+        pair_block, pair_slot].set(flat_q, mode="drop")
+    return pair_block, pair_slot, block_cell, probers
 
 
 def _block_select(scores, start_c, *, k_pair, s_eff, approx, pack32,
@@ -307,18 +375,16 @@ def _block_select(scores, start_c, *, k_pair, s_eff, approx, pack32,
     return jnp.concatenate([_f32_sortable_i32(vals), baddr], axis=-1)
 
 
-def _merge_pairs(combo, query, order, pair_block, pair_slot, start_c_all, *,
+def _merge_pairs(combo, query, pair_block, pair_slot, start_c_all, *,
                  b_max, p_tile, k, k_pair, nq, n_probe, pack32, slot_mask,
                  key_neg_big, distance, big):
     """Unsort per-pair partial top-ks back to original pair order (one
-    row-gather via the inverse permutation) and run the final per-query
-    merge. combo: [b_max, p_tile, k_pair] pack32 int32 or
-    [b_max, p_tile, 2*k_pair] (keys ++ addresses). Returns (vals, addrs)."""
-    n_pairs = nq * n_probe
-    inv = jnp.zeros((n_pairs,), jnp.int32).at[order].set(
-        jnp.arange(n_pairs, dtype=jnp.int32))  # original pair -> sorted pos
-    bo = pair_block[inv]
-    so = pair_slot[inv]
+    row-gather — pair_block/pair_slot are already in original pair order)
+    and run the final per-query merge. combo: [b_max, p_tile, k_pair]
+    pack32 int32 or [b_max, p_tile, 2*k_pair] (keys ++ addresses).
+    Returns (vals, addrs)."""
+    bo = pair_block
+    so = pair_slot
     live = bo < b_max
     bo_safe = jnp.minimum(bo, b_max - 1)
     kk = min(k, n_probe * k_pair)
@@ -458,7 +524,7 @@ def scan_cell_major(query, cells, probe_mask, decoded, norms, is_empty,
     b_max = util.round_up(b_max, block_chunk)
 
     # ---- pack pairs into blocks (all static-shape) ----
-    order, pair_block, pair_slot, block_cell, probers = _pack_pairs(
+    pair_block, pair_slot, block_cell, probers = _pack_pairs(
         cells, probe_mask, n_cells=n_cells, p_tile=p_tile, b_max=b_max)
 
     # ---- score blocks ----
@@ -542,36 +608,37 @@ def scan_cell_major(query, cells, probe_mask, decoded, norms, is_empty,
         from .pallas_scan import scan_blocks_pallas
 
         interpret = interpret or config.PALLAS_INTERPRET
-        # stage the per-block penalty rows in XLA (4 B/slot — cheap even at
-        # the scan loop's ~26 GB/s slice rate); the kernel DMAs only the
-        # 64x bigger candidate windows
-        def pen_chunk(args):
-            start_c, off, capc = args  # [bc] each
-            pen = jnp.stack([
-                jax.lax.dynamic_slice(penalty_arr, (start_c[i],), (s_eff,))
-                for i in range(block_chunk)])
-            in_cell = ((slot_iota[None, :s_eff] >= off[:, None])
-                       & (slot_iota[None, :s_eff] < (off + capc)[:, None]))
-            return pen + jnp.where(in_cell, 0.0, big)
-
-        nbc = b_max // block_chunk
-        pen_all = jax.lax.map(
-            pen_chunk,
-            (start_c_all.reshape(nbc, block_chunk),
-             off_all.reshape(nbc, block_chunk),
-             cap_all.reshape(nbc, block_chunk))).reshape(b_max, s_eff)
+        # stage the per-block penalty rows in XLA (4 B/slot; an in-kernel
+        # penalty DMA is impossible — 1-D HBM memrefs carry 1024-element
+        # tiling, cell starts are only 16-aligned). A row gather over the
+        # 16-aligned reshape measured fastest (5.6 ms vs 10.3 map-slice vs
+        # 22.3 flat elementwise gather at b_max=4728): 16-element rows ride
+        # the 16-slot start alignment, cutting gather descriptors 16x.
+        pen16 = penalty_arr.reshape(-1, 16)
+        rows16 = (start_c_all[:, None] // 16
+                  + jnp.arange(s_eff // 16, dtype=jnp.int32)[None, :])
+        pen_all = pen16[rows16].reshape(b_max, s_eff)
+        in_cell = ((slot_iota[None, :s_eff] >= off_all[:, None])
+                   & (slot_iota[None, :s_eff] < (off_all + cap_all)[:, None]))
+        pen_all = pen_all + jnp.where(in_cell, 0.0, big)
         # pre-gather the per-block query tiles in XLA (small-table row
-        # gather, ~100 GB/s) in the matmul dtype — the kernel streams them
-        # through its BlockSpec pipeline
-        qvecs_p = query_q[qidx_all].astype(
-            decoded.dtype if decoded.dtype == jnp.bfloat16 else query.dtype)
+        # gather, ~100 GB/s) in the matmul dtype — casting the 10k-row query
+        # table BEFORE the [B, p_tile] gather halves the gather's read
+        # traffic vs casting its output. The kernel streams tiles + penalty
+        # rows through its BlockSpec pipeline. bps blocks per grid step
+        # amortize the ~4 us/step pipeline overhead (block_chunk=8 divides
+        # b_max, so any bps | block_chunk is safe).
+        mm_cast = (decoded.dtype if decoded.dtype == jnp.bfloat16
+                   else query.dtype)
+        qvecs_p = query_q.astype(mm_cast)[qidx_all]
         combo = scan_blocks_pallas(
             qvecs_p, start_c_all, pen_all, decoded,
             s_eff=s_eff, k_pair=k_pair, p_tile=p_tile, distance=distance,
-            approx=pack32, slot_mask=slot_mask, interpret=interpret)
+            approx=pack32, slot_mask=slot_mask, bps=4, interpret=interpret)
     else:
-        qvecs_all = query_q[qidx_all].astype(
-            mm_dtype if distance != "manhattan" else query.dtype)  # [B,p,d]
+        qvecs_all = query_q.astype(
+            mm_dtype if distance != "manhattan" else query.dtype
+        )[qidx_all]  # [B,p,d] — cast before the gather (halves read bytes)
 
         def one_chunk(args):
             # block_chunk blocks per scan iteration: the scan loop's
@@ -637,7 +704,7 @@ def scan_cell_major(query, cells, probe_mask, decoded, norms, is_empty,
     # one row-gather via the inverse permutation (a gather+scatter pair
     # would double the payload traffic, which dominates at high n_probe)
     return _merge_pairs(
-        combo, query, order, pair_block, pair_slot, start_c_all,
+        combo, query, pair_block, pair_slot, start_c_all,
         b_max=b_max, p_tile=p_tile, k=k, k_pair=k_pair, nq=nq,
         n_probe=n_probe, pack32=pack32, slot_mask=slot_mask,
         key_neg_big=key_neg_big, distance=distance, big=big)

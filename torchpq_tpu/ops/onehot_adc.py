@@ -94,7 +94,7 @@ def scan_cell_major_codes(query, cells, probe_mask, codes, norms, is_empty,
     b_max = min(n_cells, n_pairs) + util.cdiv(n_pairs, p_tile)
     b_max = util.round_up(b_max, block_chunk)
 
-    order, pair_block, pair_slot, block_cell, probers = _pack_pairs(
+    pair_block, pair_slot, block_cell, probers = _pack_pairs(
         cells, probe_mask, n_cells=n_cells, p_tile=p_tile, b_max=b_max)
 
     big = jnp.float32(jnp.finfo(jnp.float32).max / 4)
@@ -158,7 +158,7 @@ def scan_cell_major_codes(query, cells, probe_mask, codes, norms, is_empty,
     combo = combo.reshape(b_max, p_tile, k_pair if pack32 else 2 * k_pair)
 
     return _merge_pairs(
-        combo, query, order, pair_block, pair_slot, start_c_all,
+        combo, query, pair_block, pair_slot, start_c_all,
         b_max=b_max, p_tile=p_tile, k=k, k_pair=k_pair, nq=nq,
         n_probe=n_probe, pack32=pack32, slot_mask=slot_mask,
         key_neg_big=key_neg_big, distance=distance, big=big)

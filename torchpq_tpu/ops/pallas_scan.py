@@ -7,16 +7,24 @@ probe pairs packed into blocks of p_tile probers of one cell); this kernel
 replaces the XLA `lax.map` block loop, whose per-iteration dynamic-slice
 reads measure ~26 GB/s. The kernel:
 
-  * double-buffers the per-block candidate-window DMA (HBM -> VMEM at full
+  * processes `bps` blocks per grid step (the per-step pipeline overhead was
+    measured at ~4 us/step at the 1M bench shape — multi-block steps
+    amortize it; the per-block compute is ~0.2 us, so step overhead IS the
+    kernel's cost),
+  * double-buffers the per-block candidate-window DMAs (HBM -> VMEM at full
     bandwidth, overlapped with compute); windows are contiguous because
     cells are contiguous segments, and 16-aligned by the container's pow2
     capacity invariant,
-  * streams the per-block query tile [p_tile, d] through the BlockSpec
+  * streams the XLA-staged [bps, s_eff] penalty rows (norm-or-BIG with all
+    validity masking folded in; 4 B/slot) through the BlockSpec pipeline
+    next to the query tiles (an in-kernel penalty DMA from the [cap] array
+    is impossible: 1-D HBM memrefs carry 1024-element tiling and cell
+    starts are only 16-aligned — Mosaic rejects the slice),
+  * streams the per-block query tiles [bps, p_tile, d] through the BlockSpec
     pipeline (pre-gathered by XLA, where a small-table row gather runs at
     ~100 GB/s — measured far faster than a per-row in-kernel gather loop),
-  * scores the block with one MXU matmul (bf16 x bf16 -> f32) minus a
-    per-slot penalty row (norms + all validity masking, precomputed by the
-    caller — 4 B/slot, cheap to stage in XLA),
+  * scores each block with one MXU matmul (bf16 x bf16 -> f32) minus its
+    penalty row,
   * selects the per-prober top-k in VMEM: approx mode first reduces
     [p, s] -> [p, G] with strided group maxima (the approx_max_k recipe —
     one winner per group, groups interleaved so the reduce is G-wide
@@ -60,8 +68,8 @@ def _sortable_i32_const(x):
 # XLA path's decoder (adc._sortable_i32_f32) — one definition only
 from .adc import _f32_sortable_i32  # noqa: E402
 
-# candidate double-buffer budget: 2 windows of [s_eff, d] must fit VMEM
-# next to the pipelined query tile and output block
+# candidate double-buffer budget: 2 * bps windows of [s_eff, d] must fit
+# VMEM next to the pipelined query tiles and output block
 PALLAS_WINDOW_VMEM_BYTES = 10 * 1024 * 1024
 
 
@@ -107,63 +115,84 @@ def _select_topk(scores, k_pair, width, big, start, slot_mask, pack32,
     return jnp.concatenate(key_cols + addr_cols, axis=1)
 
 
-def _make_kernel(s_eff, k_pair, p_tile, d, euclidean, big, n_groups,
-                 slot_mask, pack32):
-    reduce_groups = n_groups < s_eff
+def _score_and_select(cand, pen, q, start, *, s_eff, p_tile,
+                      k_pair, euclidean, big, n_groups, slot_mask, pack32):
+    """One block: matmul + penalty + top-k select.
 
+    cand [s_eff, d]; pen [s_eff] f32 (norm-or-BIG, all validity masking
+    pre-folded by the caller); q [p, d]; start scalar (the window's
+    absolute start). Returns the [p, out_w] int32 output rows.
+    """
+    ab = jax.lax.dot_general(
+        q.astype(cand.dtype), cand, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)  # [p, s]
+    scores = (2.0 * ab if euclidean else ab) - pen[None, :]
+
+    if pack32:
+        # pack FIRST (key-bits | in-window slot), then select on the packed
+        # int32s: the slot travels inside the key, so the strided group
+        # reduce is a bare max (no winner-index bookkeeping) and each
+        # select pass is one lane-max + mask — no separate first-index
+        # extraction pass. Slot bits also make every key in a row unique,
+        # so the `== m` mask kills exactly one entry per pass.
+        slot_iota = jax.lax.broadcasted_iota(jnp.int32, (p_tile, s_eff), 1)
+        packed = ((_f32_sortable_i32(scores) & jnp.int32(~slot_mask))
+                  | slot_iota)
+        n_r = s_eff // n_groups
+        best = packed[:, :n_groups]
+        for r in range(1, n_r):
+            # strided groups: group j holds slots {j, j+G, ...} so every
+            # reduce step is a full-width vector max over a statically-
+            # sliced [p, G] block (contiguous grouping would need a
+            # lane-hostile [p, G, R] reshape)
+            best = jnp.maximum(best,
+                               packed[:, r * n_groups:(r + 1) * n_groups])
+        cols = []
+        neg = jnp.int32(jnp.iinfo(jnp.int32).min)
+        for _ in range(k_pair):
+            m = jnp.max(best, axis=1, keepdims=True)
+            cols.append(m)
+            best = jnp.where(best == m, neg, best)
+        return jnp.concatenate(cols, axis=1)
+    return _select_topk(scores, k_pair, s_eff, big, start, slot_mask,
+                        pack32)
+
+
+def _make_kernel(s_eff, k_pair, p_tile, d, euclidean, big, n_groups,
+                 slot_mask, pack32, bps):
     def kernel(start_ref, qvecs_ref, pen_ref, decoded, out_ref, cand_buf,
                sems):
         g = pl.program_id(0)
         n_g = pl.num_programs(0)
 
-        def window_dma(slot, block):
+        def window_dma(slot, step, j):
             # starts are multiples of 16 by construction (cell starts are
             # sums of pow2 capacities >= 16); Mosaic needs the hint
-            start = pl.multiple_of(start_ref[block], 16)
+            start = pl.multiple_of(start_ref[step * bps + j], 16)
             return pltpu.make_async_copy(
                 decoded.at[pl.ds(start, s_eff), :],
-                cand_buf.at[slot], sems.at[slot])
+                cand_buf.at[slot, j], sems.at[slot, j])
 
         slot = jax.lax.rem(g, 2)
         nxt = jax.lax.rem(g + 1, 2)
 
         @pl.when(g == 0)
         def _():
-            window_dma(slot, 0).start()
+            for j in range(bps):
+                window_dma(slot, 0, j).start()
 
         @pl.when(g + 1 < n_g)
         def _():
-            window_dma(nxt, g + 1).start()
+            for j in range(bps):
+                window_dma(nxt, g + 1, j).start()
 
-        window_dma(slot, g).wait()
-
-        cand = cand_buf[slot]                    # [s_eff, d]
-        q = qvecs_ref[0].astype(cand.dtype)      # [p_tile, d] pipelined tile
-        ab = jax.lax.dot_general(
-            q, cand, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)  # [p, s]
-        scores = (2.0 * ab if euclidean else ab) - pen_ref[0]  # [1, s] bcast
-
-        start = start_ref[g]
-        if reduce_groups:
-            # strided group reduction [p, s] -> [p, G]: group j holds slots
-            # {j, j+G, j+2G, ...} so every reduce step is a full-width
-            # vector max over a statically-sliced [p, G] block (contiguous
-            # grouping would need a lane-hostile [p, G, R] reshape)
-            n_r = s_eff // n_groups
-            best = scores[:, :n_groups]
-            rbest = jnp.zeros((p_tile, n_groups), jnp.int32)
-            for r in range(1, n_r):
-                blk = scores[:, r * n_groups:(r + 1) * n_groups]
-                upd = blk > best
-                best = jnp.where(upd, blk, best)
-                rbest = jnp.where(upd, r, rbest)
-            out_ref[0] = _select_topk(best, k_pair, n_groups, big, start,
-                                      slot_mask, pack32, rbest=rbest,
-                                      n_groups=n_groups)
-        else:
-            out_ref[0] = _select_topk(scores, k_pair, s_eff, big, start,
-                                      slot_mask, pack32)
+        for j in range(bps):
+            window_dma(slot, g, j).wait()
+            out_ref[j] = _score_and_select(
+                cand_buf[slot, j], pen_ref[j, 0], qvecs_ref[j],
+                start_ref[g * bps + j], s_eff=s_eff, p_tile=p_tile,
+                k_pair=k_pair, euclidean=euclidean, big=big,
+                n_groups=n_groups, slot_mask=slot_mask, pack32=pack32)
 
     return kernel
 
@@ -171,9 +200,9 @@ def _make_kernel(s_eff, k_pair, p_tile, d, euclidean, big, n_groups,
 @functools.partial(
     jax.jit,
     static_argnames=("s_eff", "k_pair", "p_tile", "distance", "approx",
-                     "slot_mask", "interpret"))
+                     "slot_mask", "bps", "interpret"))
 def scan_blocks_pallas(qvecs, start_all, pen_all, decoded, *, s_eff, k_pair,
-                       p_tile, distance, approx=False, slot_mask=0,
+                       p_tile, distance, approx=False, slot_mask=0, bps=4,
                        interpret=False):
     """Run the fused block scan.
 
@@ -181,13 +210,15 @@ def scan_blocks_pallas(qvecs, start_all, pen_all, decoded, *, s_eff, k_pair,
     dtype, typically bf16 — the gather is an XLA small-table row gather);
     start_all: [B] i32 window starts (pre-clamped in-bounds, 16-aligned);
     pen_all: [B, s_eff] f32 per-slot penalty incl. all validity masking;
-    decoded: [cap, d].
+    decoded: [cap, d]. B must be a multiple of `bps` (blocks per grid step
+    — the caller's block_chunk rounding guarantees it).
 
     Returns combo int32: approx -> [B, p_tile, k_pair] pack32 rows
     (value-bits | slot, in-window slot, slot_mask wide); exact ->
     [B, p_tile, 2*k_pair] (sortable keys ++ absolute addresses).
     """
     b = start_all.shape[0]
+    assert b % bps == 0, (b, bps)
     _, _, d = qvecs.shape
     big = float(jnp.finfo(jnp.float32).max / 4)
     euclidean = distance == "euclidean"
@@ -203,25 +234,27 @@ def scan_blocks_pallas(qvecs, start_all, pen_all, decoded, *, s_eff, k_pair,
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(b,),
+        grid=(b // bps,),
         in_specs=[
-            pl.BlockSpec((1, p_tile, d), lambda g, *_: (g, 0, 0),
+            pl.BlockSpec((bps, p_tile, d), lambda g, *_: (g, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, s_eff), lambda g, *_: (g, 0, 0),
+            # [B, 1, s_eff] with a (bps, 1, s_eff) block: the middle
+            # singleton satisfies the last-two-dims tiling rule for any bps
+            pl.BlockSpec((bps, 1, s_eff), lambda g, *_: (g, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((1, p_tile, out_w),
+        out_specs=pl.BlockSpec((bps, p_tile, out_w),
                                lambda g, *_: (g, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, s_eff, d), decoded.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, bps, s_eff, d), decoded.dtype),
+            pltpu.SemaphoreType.DMA((2, bps)),
         ],
     )
 
     kernel = _make_kernel(s_eff, k_pair, p_tile, d, euclidean, big,
-                          n_groups, slot_mask, approx)
+                          n_groups, slot_mask, approx, bps)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((b, p_tile, out_w), jnp.int32),
