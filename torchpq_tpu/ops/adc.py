@@ -399,9 +399,17 @@ def _merge_pairs(combo, query, pair_block, pair_slot, start_c_all, *,
         keys = out.reshape(nq, n_probe * k_pair)
         starts_q = pair_start.reshape(nq, n_probe)
         # selection on the decoded (noisy-low-bits) values — monotone in the
-        # packed keys, so ranking matches an int32 sort of the keys
+        # packed keys, so ranking matches an int32 sort of the keys.
+        # approx_max_k's recall model assumes winners spread uniformly, but
+        # these keys are descending runs of k_pair with the best pairs first
+        # (cells arrive coarse-ranked) — heavily clustered, so its binning
+        # loses true neighbors and recall@100 DROPPED as n_probe grew
+        # (measured 0.822/0.807/0.790 at n_probe 32/64/128 on the 1M class
+        # sweep). Exact top_k for k > 32 restores monotone deep-k recall;
+        # k <= 32 keeps approx (k_pair == k runs are short, loss unmeasurable
+        # — cell-major n_probe=128 @k=10 beats even the flat sweep's recall).
         sel = _sortable_i32_f32(keys)
-        if kk < keys.shape[-1]:
+        if kk < keys.shape[-1] and kk <= 32:
             fvs, fi = jax.lax.approx_max_k(sel, kk)
         else:
             fvs, fi = jax.lax.top_k(sel, kk)
