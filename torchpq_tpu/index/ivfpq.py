@@ -767,21 +767,25 @@ class IVFPQIndex(CellContainer):
             # it's then at least as fast AND recall rises to the ADC
             # ceiling (n_probe stays an accuracy floor, as the reference
             # documents it; serving the request with a better plan is fair).
-            # k <= 32 only: the flat epilogue (per-chunk approx_max_k) gets
-            # slower and lossier as k grows — measured at 1M, k=100: flat
-            # 103k q/s at recall 0.802 loses to the np=4 IVF scan's 106k at
-            # 0.820, while at k=10 flat wins everywhere past np~4.
-            # Exception: at high d the IVF scan's [blocks, p_tile, d] query-
-            # tile gather dominates (measured d=960, k=100: IVF 342 q/s vs
-            # flat 39.9k at better recall), so the k gate lifts there.
-            # approx epilogue only: the cost model was measured with the
-            # fused approx_max_k; the exact path is a per-chunk full sort
-            # (safe — flat_adc_scan bounds its tile — but unmeasured, so
-            # the planner won't claim it's faster)
+            # The 128x crossover is the approx-epilogue cost model; it
+            # applies at k <= 32 (and at high d, where the IVF scan's
+            # [blocks, p_tile, d] query-tile gather dominates — measured
+            # d=960, k=100: IVF 342 q/s vs flat 39.9k at better recall).
+            # k > 32 takes flat_adc_auto's EXACT multi-chunk epilogue
+            # (a per-chunk full sort), costlier per slot — but the probed
+            # scan's k>32 bookkeeping (k_pair=64 unsort payload + exact
+            # final merge) is costlier still: measured on the 1M class
+            # sweep at k=100, flat 201k q/s @ recall 0.921 beats EVERY
+            # probed point (np=1: 83k @ 0.145, np=8: 103k @ 0.507) — so
+            # the k>32 crossover multiplier is 512, covering np=1 at 1M
+            # with margin while still letting genuinely huge indexes probe.
             s_pow2 = util.next_pow2(self.max_cell_capacity)
-            if (self._use_approx_topk
-                    and (int(k) <= 32 or self.d_vector >= 512)
-                    and n_probe * s_pow2 * 128 >= max(int(self.n_items), 1)):
+            touched = n_probe * s_pow2
+            n_live = max(int(self.n_items), 1)
+            if int(k) <= 32 or self.d_vector >= 512:
+                if self._use_approx_topk and touched * 128 >= n_live:
+                    mode = "flat"
+            elif touched * 512 >= n_live:
                 mode = "flat"
         if self._code_domain:
             # code domain serves two plans: the one-hot cell-major scan and
