@@ -65,6 +65,11 @@ def main():
     ap.add_argument("--n-bits", type=int, default=8, choices=(4, 8),
                     help="4: packed-nibble PQ (16-cluster codebooks, "
                          "n_subvectors/2 B per code)")
+    ap.add_argument("--skip-flat", action="store_true",
+                    help="omit the exhaustive-sweep entry; the code-domain "
+                         "(--cache none) flat sweep is a m*256/d-wide one-"
+                         "hot contraction — hours of MXU at 1M x 10k, and "
+                         "the probed entries are the path under test")
     ap.add_argument("--no-spill", action="store_true",
                     help="reference add semantics: every item in its argmax "
                          "cell (the A/B against the default bounded-cell "
@@ -149,7 +154,7 @@ def main():
     qj = jnp.asarray(query.T)
 
     entries = []
-    for n_probe in args.n_probes + ["flat"]:
+    for n_probe in args.n_probes + ([] if args.skip_flat else ["flat"]):
         if n_probe == "flat":
             # exhaustive MXU sweep (ops/flat_adc.py): max-recall point
             index.scan_mode = "flat"

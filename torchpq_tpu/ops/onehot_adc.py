@@ -144,6 +144,13 @@ def scan_cell_major_codes(query, cells, probe_mask, codes, norms, is_empty,
             preferred_element_type=jnp.float32)
         scores = (2.0 * sums if distance == "euclidean" else sums)
         scores = scores - pen[:, None, :]
+        # keep ApproxTopK's PartialReduce out of the m*nc-wide one-hot
+        # contraction: fused, the TPU compiler cannot find an iteration
+        # window for it ("Wasn't able to find a valid iteration window for
+        # ApproxTopK", measured on v5e at the 1M sweep shapes) and the whole
+        # program fails to compile. The barrier materializes [bc, p, s]
+        # scores first — noise next to the einsum's FLOPs.
+        scores = jax.lax.optimization_barrier(scores)
         return _block_select(scores, start_c, k_pair=k_pair, s_eff=s_eff,
                              approx=approx, pack32=pack32,
                              slot_mask=slot_mask, key_neg_big=key_neg_big,
@@ -201,6 +208,9 @@ def flat_onehot_scan(query, codes, penalty, codebook, *, k, distance,
                           oh.reshape(chunk, m * nc),
                           preferred_element_type=jnp.float32)
         s = (2.0 * sums if distance == "euclidean" else sums) - pen[None, :]
+        # same iteration-window failure as scan_cell_major_codes: detach the
+        # top-k from the one-hot contraction before PartialReduce fusion
+        s = jax.lax.optimization_barrier(s)
         if approx and k_c < chunk:
             v, i = jax.lax.approx_max_k(s, k_c)
         else:
