@@ -70,6 +70,9 @@ def main():
                          "(--cache none) flat sweep is a m*256/d-wide one-"
                          "hot contraction — hours of MXU at 1M x 10k, and "
                          "the probed entries are the path under test")
+    ap.add_argument("--scan-group", type=int, default=4,
+                    help="supercells: adjacent cells scanned per block "
+                         "(fewer, larger window DMAs; see ops/adc.py)")
     ap.add_argument("--no-spill", action="store_true",
                     help="reference add semantics: every item in its argmax "
                          "cell (the A/B against the default bounded-cell "
@@ -108,7 +111,7 @@ def main():
     if not args.no_spill:
         index.spill_cells = 8
         index.spill_capacity = index.max_cell_capacity
-    index.scan_group = 4  # supercell grouping (see ops/adc.py)
+    index.scan_group = args.scan_group  # supercell grouping (ops/adc.py)
 
     def _mem(tag):
         ms = jax.local_devices()[0].memory_stats() or {}

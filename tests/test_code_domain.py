@@ -12,7 +12,8 @@ import pytest
 from torchpq_tpu.index import IVFPQIndex
 from torchpq_tpu.index.ivfpq import _coarse_probe
 from torchpq_tpu.ops import adc
-from torchpq_tpu.ops.onehot_adc import scan_cell_major_codes
+from torchpq_tpu.ops.onehot_adc import (scan_cell_major_codes,
+                                        flat_onehot_scan, flat_decode_scan)
 
 
 def _built(rng, n=1500, d=32, m=8, n_cells=8, cache="float32",
@@ -55,6 +56,49 @@ def test_code_scan_matches_decoded_scan(rng, distance):
         for a in set(a_c[i]) & set(a_d[i]) - {-1}:
             dv = abs(v_c[i][a_c[i] == a][0] - v_d[i][a_d[i] == a][0])
             assert dv <= 3e-2 * scale, (i, a, dv)
+
+
+@pytest.mark.parametrize("distance", ["euclidean", "inner"])
+def test_flat_decode_matches_onehot_sweep(rng, distance):
+    """The decode-on-the-fly sweep (flat_decode_scan) must rank like the
+    one-hot LUT sweep — same math, decode amortized across queries."""
+    index, x = _built(rng, cache="none", distance=distance)
+    nq, k = 24, 10
+    q = jnp.asarray(rng.normal(size=(nq, 32)).astype(np.float32))
+    big = jnp.float32(jnp.finfo(jnp.float32).max / 4)
+    norms = index.aux("norm")[:, 0]
+    pen = jnp.where(index._is_empty, big,
+                    norms if distance == "euclidean" else 0.0)
+    cb = index.pq_codec.codebook_internal
+    v_o, a_o = flat_onehot_scan(q, index._storage, pen, cb, k=k,
+                                distance=distance, approx=False)
+    v_d, a_d = flat_decode_scan(q, index._storage, pen, cb, k=k,
+                                distance=distance, approx=False, sub=512)
+    a_o, a_d = np.asarray(a_o), np.asarray(a_d)
+    overlap = np.mean([len(set(a_o[i]) & set(a_d[i])) / k
+                       for i in range(nq)])
+    assert overlap >= 0.95, f"decode-vs-onehot overlap {overlap}"
+    v_o, v_d = np.asarray(v_o), np.asarray(v_d)
+    scale = max(1.0, float(np.abs(v_o[np.isfinite(v_o)]).max()))
+    for i in range(nq):
+        for a in set(a_o[i]) & set(a_d[i]) - {-1}:
+            dv = abs(v_d[i][a_d[i] == a][0] - v_o[i][a_o[i] == a][0])
+            assert dv <= 3e-2 * scale, (i, a, dv)
+
+
+def test_flat_decode_4bit_codebook(rng):
+    """4-bit PQ code domain: packed bytes scan through the byte-pair
+    codebook view ([m/2, 256, 2*dsub]), so flat_decode_scan sees the same
+    [m, nc, dsub] contract as 8-bit."""
+    x = rng.normal(size=(800, 32)).astype(np.float32)
+    index = IVFPQIndex(d_vector=32, n_subvectors=8, n_cells=4,
+                       scan_cache_dtype="none", n_bits=4, initial_size=64)
+    index.train(jnp.asarray(x.T))
+    ids = np.asarray(index.add(jnp.asarray(x.T)))
+    index.scan_mode = "flat"
+    _, got = index.search(jnp.asarray(x[:48].T), k=1)
+    hit = (np.asarray(got)[:, 0] == ids[:48]).mean()
+    assert hit >= 0.9, f"4-bit flat decode self-recall {hit}"
 
 
 def test_code_domain_index_end_to_end(rng):

@@ -169,14 +169,21 @@ def _compact_codes_cache(codes, norms, is_empty, *, n_pad):
 def _search_flat_codes(q, codes, norms, is_empty, addr_map, address2id,
                        codebook, *, k, distance, approx, precision=None):
     """Flat-mode query path over raw codes (scan_cache_dtype='none'):
-    exhaustive one-hot MXU sweep + address translation."""
-    from ..ops.onehot_adc import flat_onehot_scan
+    exhaustive decode-on-the-fly MXU sweep + address translation. Manhattan
+    rides the one-hot LUT sweep instead (exact per-subvector L1 decomposes
+    through the LUT but not through a dot product)."""
+    from ..ops.onehot_adc import flat_decode_scan, flat_onehot_scan
     big = jnp.float32(jnp.finfo(jnp.float32).max / 4)
     penalty = jnp.where(is_empty, big,
                         norms if distance == "euclidean" else 0.0)
-    vals, addr = flat_onehot_scan(q, codes, penalty, codebook, k=k,
-                                  distance=distance, approx=approx,
-                                  precision=precision)
+    if canonical_distance(distance) == "manhattan":
+        vals, addr = flat_onehot_scan(q, codes, penalty, codebook, k=k,
+                                      distance=distance, approx=approx,
+                                      precision=precision)
+    else:
+        vals, addr = flat_decode_scan(q, codes, penalty, codebook, k=k,
+                                      distance=distance, approx=approx,
+                                      precision=precision)
     if addr_map is not None:
         addr = jnp.where(addr >= 0, addr_map[jnp.maximum(addr, 0)], -1)
     ids = jnp.where(addr >= 0, address2id[jnp.maximum(addr, 0)], -1)

@@ -23,6 +23,16 @@ exact memory contract) plus 4 B/slot of norms.
 
 Both scans here reuse the cell-major machinery from ops/adc.py (pair
 packing, per-block select, pack32 unsort/merge); only block scoring differs.
+
+The FLOP tax has one big exception: the EXHAUSTIVE sweep. There every
+chunk of codes is scored against every query, so the chunk can instead be
+decoded ONCE (one-hot @ block-diagonal codebook, m*nc*d MACs/slot) and
+scored with the ordinary d-wide matmul (nq*d MACs/slot) — at nq >= ~1000
+the decode amortizes to noise and the sweep runs within ~2-3x of the
+decoded-cache sweep while HBM still holds only the m B/slot codes.
+`flat_decode_scan` is that path; the cell-major scan cannot use it because
+a probed window is shared by only ~p_tile queries, which makes decode cost
+~= one-hot scoring cost (both m*nc-wide contractions).
 """
 
 import functools
@@ -219,6 +229,13 @@ def flat_onehot_scan(query, codes, penalty, codebook, *, k, distance,
 
     starts = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
     vals, idx = jax.lax.map(one, starts)  # [nch, nq, k_c]
+    return _flat_final_merge(vals, idx, query, k=k, distance=distance,
+                             big=big)
+
+
+def _flat_final_merge(vals, idx, query, *, k, distance, big):
+    """Shared exact final merge of per-chunk winners ([nch, nq, k_c])."""
+    nq = query.shape[0]
     vals = jnp.moveaxis(vals, 0, 1).reshape(nq, -1)
     idx = jnp.moveaxis(idx, 0, 1).reshape(nq, -1)
     kk = min(k, vals.shape[-1])
@@ -235,3 +252,81 @@ def flat_onehot_scan(query, codes, penalty, codebook, *, k, distance,
         fv = jnp.pad(fv, ((0, 0), (0, k - kk)), constant_values=-jnp.inf)
         fa = jnp.pad(fa, ((0, 0), (0, k - kk)), constant_values=-1)
     return fv, fa
+
+
+def blockdiag_codebook(codebook):
+    """[m, nc, dsub] -> [m*nc, m*dsub] block-diagonal decode matrix:
+    onehot(codes) @ blockdiag reconstructs rows exactly (each one-hot
+    selects one codeword per subvector block)."""
+    m, nc, dsub = codebook.shape
+    bd = jnp.zeros((m, nc, m, dsub), codebook.dtype)
+    bd = bd.at[jnp.arange(m), :, jnp.arange(m), :].set(codebook)
+    return bd.reshape(m * nc, m * dsub)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "distance", "chunk", "sub", "approx", "precision"))
+def flat_decode_scan(query, codes, penalty, codebook, *, k, distance,
+                     chunk=65536, sub=8192, approx=True, precision=None):
+    """Exhaustive code-domain sweep via decode-on-the-fly chunks.
+
+    Per chunk: decode the codes ONCE on the MXU (one-hot @ block-diagonal
+    codebook -> [chunk, d] bf16, m*nc*d MACs/slot, exact codeword selection
+    with f32 accumulation) and score all queries with the ordinary d-wide
+    matmul — the same arithmetic as the decoded-cache sweep, amortizing the
+    decode over nq queries instead of paying the m*nc-wide contraction per
+    query like `flat_onehot_scan` (reference LUT loop:
+    torchpq/kernels/cuda/ivfpq_topk.cu:650-679). Memory stays m B/slot of
+    codes + one [sub, d] decode transient. Manhattan callers must use
+    `flat_onehot_scan` (L1 doesn't factor through a dot product).
+    """
+    distance = canonical_distance(distance)
+    assert distance != "manhattan", "manhattan: use flat_onehot_scan"
+    nq, d = query.shape
+    cap, m = codes.shape
+    chunk = min(chunk, cap)
+    sub = min(sub, chunk)
+    chunk = (chunk // sub) * sub
+    big = jnp.float32(jnp.finfo(jnp.float32).max / 4)
+    nc = codebook.shape[1]
+    cvals = jnp.arange(nc, dtype=jnp.int32)
+    bd = blockdiag_codebook(codebook).astype(jnp.bfloat16)
+    q_mm = query.astype(jnp.bfloat16)
+    n_chunks = util.cdiv(cap, chunk)
+    k_c = min(k, chunk)
+
+    def decode_sub(win):  # [sub, m] uint8 -> [sub, d] bf16
+        oh = (win.astype(jnp.int32)[..., None]
+              == cvals[None, None, :]).astype(jnp.bfloat16)
+        return jnp.dot(oh.reshape(win.shape[0], m * nc), bd,
+                       preferred_element_type=jnp.float32
+                       ).astype(jnp.bfloat16)
+
+    def one(c0):
+        c0c = jnp.minimum(c0, cap - chunk)
+        shift = c0 - c0c
+        win = jax.lax.dynamic_slice(codes, (c0c, 0), (chunk, m))
+        pen = jax.lax.dynamic_slice(penalty, (c0c,), (chunk,))
+        pen = pen + jnp.where(jnp.arange(chunk) < shift, big, 0.0)
+        if chunk > sub:
+            dec = jax.lax.map(
+                decode_sub, win.reshape(chunk // sub, sub, m)
+            ).reshape(chunk, d)
+        else:
+            dec = decode_sub(win)
+        ab = jax.lax.dot_general(
+            q_mm, dec, (((1,), (1,)), ((), ())),
+            precision=precision or config.SEARCH_PRECISION,
+            preferred_element_type=jnp.float32)
+        s = (2.0 * ab if distance == "euclidean" else ab) - pen[None, :]
+        if approx and k_c < chunk:
+            v, i = jax.lax.approx_max_k(s, k_c)
+        else:
+            v, i = jax.lax.top_k(s, k_c)
+        return v, (i + c0c).astype(jnp.int32)
+
+    starts = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
+    vals, idx = jax.lax.map(one, starts)  # [nch, nq, k_c]
+    return _flat_final_merge(vals, idx, query, k=k, distance=distance,
+                             big=big)
