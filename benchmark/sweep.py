@@ -66,10 +66,10 @@ def main():
                     help="4: packed-nibble PQ (16-cluster codebooks, "
                          "n_subvectors/2 B per code)")
     ap.add_argument("--skip-flat", action="store_true",
-                    help="omit the exhaustive-sweep entry; the code-domain "
-                         "(--cache none) flat sweep is a m*256/d-wide one-"
-                         "hot contraction — hours of MXU at 1M x 10k, and "
-                         "the probed entries are the path under test")
+                    help="omit the exhaustive-sweep entry (e.g. when only "
+                         "the probed entries are under test; the --cache "
+                         "none flat entry rides the decode-on-the-fly "
+                         "sweep, so it is no longer prohibitive)")
     ap.add_argument("--scan-group", type=int, default=4,
                     help="supercells: adjacent cells scanned per block "
                          "(fewer, larger window DMAs; see ops/adc.py)")

@@ -20,8 +20,8 @@ from .. import util
 from ..metric import canonical_distance
 
 
-@functools.partial(jax.jit, static_argnames=("m", "dsub"))
-def _decode_nd(codes_nm, codebook, *, m, dsub):
+@functools.partial(jax.jit, static_argnames=("m", "dsub", "fast"))
+def _decode_nd(codes_nm, codebook, *, m, dsub, fast=False):
     """codes [n, m] uint8, codebook [m, n_clusters, dsub] -> [n, d] f32.
 
     Large batches decode by a block-diagonal one-hot matmul: the gather
@@ -32,7 +32,15 @@ def _decode_nd(codes_nm, codebook, *, m, dsub):
     maxdiff 0.0 over 20k rows) and measured 151 ms for 1M x m64 vs 1.9 s
     for the best-layout gather. Small batches keep the gather — the
     one-hot's [sub, m*n_clusters] buffer is wasteful there, and CPU test
-    runs would pay a 17 GF matmul per tiny decode."""
+    runs would pay a 17 GF matmul per tiny decode.
+
+    fast=True runs the one-hot in bf16 at default precision (~8x the f32
+    HIGHEST MXU rate): values are the bf16-rounded codewords — the same
+    rounding the bf16 decoded scan cache applies — summed exactly (f32
+    accumulation over a one-hot row). The IVFPQR rerank uses it: its
+    candidate-batch decode is the rescore's dominant cost and bf16
+    reconstruction is precisely what round 1's decoded_full cache scored
+    against."""
     n = codes_nm.shape[0]
     nc = codebook.shape[1]
     if n <= 8192 or m * nc > 65536:
@@ -40,19 +48,22 @@ def _decode_nd(codes_nm, codebook, *, m, dsub):
         gathered = jnp.take_along_axis(
             codebook[None, :, :, :],
             codes_nm.astype(jnp.int32)[:, :, None, None], axis=2)
-        return gathered.reshape(n, m * dsub)
+        g = gathered.reshape(n, m * dsub)
+        return g.astype(jnp.bfloat16).astype(jnp.float32) if fast else g
+    mm_dtype = jnp.bfloat16 if fast else jnp.float32
+    mm_prec = None if fast else jax.lax.Precision.HIGHEST
     bd = jnp.zeros((m, nc, m, dsub), jnp.float32)
     bd = bd.at[jnp.arange(m), :, jnp.arange(m), :].set(codebook)
-    bd = bd.reshape(m * nc, m * dsub)
+    bd = bd.reshape(m * nc, m * dsub).astype(mm_dtype)
     sub = 4096
     cvals = jnp.arange(nc, dtype=jnp.int32)
 
     def one(c):  # [sub, m]
         oh = (c.astype(jnp.int32)[:, :, None]
-              == cvals[None, None, :]).astype(jnp.float32)
+              == cvals[None, None, :]).astype(mm_dtype)
         return jnp.dot(oh.reshape(sub, m * nc), bd,
                        preferred_element_type=jnp.float32,
-                       precision=jax.lax.Precision.HIGHEST)
+                       precision=mm_prec)
 
     n_pad = util.round_up(n, sub)
     cp = jnp.pad(codes_nm, ((0, n_pad - n), (0, 0)))

@@ -44,13 +44,13 @@ def _rerank_from_codes(q, cand_addr, storage, rerank_codes, cell_start,
     valid = valid & ~is_empty[safe]
     codes = storage[flat]                           # [nq*k', m] uint8
     rcodes = rerank_codes[flat]                     # [nq*k', mr] uint8
-    dec = _decode_nd(codes, pq_codebook, m=m, dsub=dsub)
+    dec = _decode_nd(codes, pq_codebook, m=m, dsub=dsub, fast=True)
     if residual:
         cell = jnp.clip(
             jnp.searchsorted(cell_start, flat, side="right") - 1,
             0, cell_start.shape[0] - 1)
         dec = dec + vq_rows[cell]
-    dec = dec + _decode_nd(rcodes, rr_codebook, m=mr, dsub=dsubr)
+    dec = dec + _decode_nd(rcodes, rr_codebook, m=mr, dsub=dsubr, fast=True)
     cand = dec.reshape(nq, kp, -1)
     cand_sq = jnp.sum(jnp.square(dec), axis=-1).reshape(nq, kp)
     sims = _block_scores(q[:, None, :], cand, cand_sq, distance)[:, 0, :]
