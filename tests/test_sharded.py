@@ -279,3 +279,40 @@ def test_data_parallel_search_has_no_side_effects(rng):
     # and the index still searches identically afterwards
     v1, i1 = index.search(jnp.asarray(x[:16].T), k=3)
     np.testing.assert_array_equal(np.asarray(i), np.asarray(i1))
+
+
+def test_sharded_code_domain_matches_single_device(rng):
+    """scan_cache_dtype='none' shards the raw uint8 codes (the m B/slot
+    memory contract survives sharding); the per-shard one-hot scan +
+    ICI merge matches the single-device code-domain scan, sharded adds
+    write code rows, and flat mode rides the decode-on-the-fly sweep."""
+    x = rng.normal(size=(1200, 32)).astype(np.float32)
+    index = IVFPQIndex(d_vector=32, n_subvectors=8, n_cells=16,
+                       scan_cache_dtype="none", initial_size=128)
+    index.train(jnp.asarray(x.T))
+    ids = np.asarray(index.add(jnp.asarray(x.T)))
+    index.n_probe = 8
+    index.use_smart_probing = False
+    index.scan_mode = "cell_major"
+    q = x[:32]
+    v1, i1 = index.search(jnp.asarray(q.T), k=5)
+    searcher = ShardedIVFPQSearcher(index, mesh=get_mesh(8))
+    assert searcher.decoded.dtype == jnp.uint8  # codes, not a cache
+    v2, i2 = searcher.search(jnp.asarray(q.T), k=5)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2),
+                               rtol=1e-3, atol=1e-3)
+    agree = (np.asarray(i1) == np.asarray(i2)).mean()
+    assert agree > 0.9, agree
+
+    # sharded adds append packed code rows
+    x_new = rng.normal(size=(40, 32)).astype(np.float32)
+    new_ids = np.asarray(searcher.add(jnp.asarray(x_new.T)))
+    _, got = searcher.search(jnp.asarray(x_new.T), k=1)
+    match = (np.asarray(got)[:, 0] == new_ids).mean()
+    assert match > 0.9, match
+
+    # flat mode: per-shard decode-on-the-fly sweep
+    searcher.scan_mode = "flat"
+    _, got_f = searcher.search(jnp.asarray(x_new.T), k=1)
+    match_f = (np.asarray(got_f)[:, 0] == new_ids).mean()
+    assert match_f > 0.9, match_f

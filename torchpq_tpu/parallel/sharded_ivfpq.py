@@ -15,6 +15,11 @@ torchpq/container/DistributedCellContainer.py — single-device; SURVEY.md
 
 State is built once from a trained+filled IVFPQIndex (host-side re-layout)
 and placed as [D, ...]-stacked arrays sharded on the leading axis.
+
+All three cache tiers shard: bf16/f32 decoded, int8 (+per-slot scales), and
+code-domain (`scan_cache_dtype='none'` — shards hold the raw uint8 codes at
+m B/slot and scan via ops/onehot_adc.py, composing the capacity-per-chip
+story with the chips axis: D chips hold D x what one chip's HBM fits).
 """
 
 import functools
@@ -37,29 +42,38 @@ from .mesh import get_mesh
     static_argnames=("mesh", "axis", "k", "n_probe", "use_smart", "distance",
                      "s_max", "c_loc", "mode", "p_tile", "group", "precision"))
 def _sharded_search(mesh, decoded, norms, is_empty, cell_start, cell_capacity,
-                    ids_sh, scales_sh, codebook, q, temperature, *, axis, k,
-                    n_probe, use_smart, distance, s_max, c_loc, mode, p_tile,
-                    group=1, precision=None):
+                    ids_sh, scales_sh, codebook, pq_cb, q, temperature, *,
+                    axis, k, n_probe, use_smart, distance, s_max, c_loc, mode,
+                    p_tile, group=1, precision=None):
     d_count = mesh.devices.size
     int8 = decoded.dtype == jnp.int8  # scales_sh is a [D, 1] dummy otherwise
+    # code-domain shards hold uint8 codes; pq_cb is a [1,1,1] dummy otherwise
+    code_domain = decoded.dtype == jnp.uint8
 
-    def local(dec, nrm, emp, cstart, ccap, ids, sc, codebook, q, temperature):
+    def local(dec, nrm, emp, cstart, ccap, ids, sc, codebook, pq_cb, q,
+              temperature):
         dec, nrm, emp = dec[0], nrm[0], emp[0]
         cstart, ccap, ids = cstart[0], ccap[0], ids[0]
         sc = sc[0] if int8 else None
         my = jax.lax.axis_index(axis)
+        big = jnp.float32(jnp.finfo(jnp.float32).max / 4)
 
         if mode == "flat":
-            # exhaustive local sweep (ops/flat_adc.py): no probing at all;
-            # every shard brute-forces its own cells and the ICI merge is
-            # unchanged — the multi-chip max-recall operating point
-            from ..ops.flat_adc import flat_adc_scan
-            big = jnp.float32(jnp.finfo(jnp.float32).max / 4)
+            # exhaustive local sweep: no probing at all; every shard
+            # brute-forces its own cells and the ICI merge is unchanged —
+            # the multi-chip max-recall operating point
             penalty = jnp.where(
                 emp, big, nrm if distance == "euclidean" else 0.0)
-            vals, addr = flat_adc_scan(q, dec, penalty, k=k,
-                                       distance=distance, approx=True,
-                                       precision=precision, scales=sc)
+            if code_domain:
+                from ..ops.onehot_adc import flat_decode_scan
+                vals, addr = flat_decode_scan(q, dec, penalty, pq_cb, k=k,
+                                              distance=distance, approx=True,
+                                              precision=precision)
+            else:
+                from ..ops.flat_adc import flat_adc_scan
+                vals, addr = flat_adc_scan(q, dec, penalty, k=k,
+                                           distance=distance, approx=True,
+                                           precision=precision, scales=sc)
         else:
             from ..index.ivfpq import _coarse_probe
             _, cells, mask = _coarse_probe(
@@ -67,7 +81,13 @@ def _sharded_search(mesh, decoded, norms, is_empty, cell_start, cell_capacity,
                 use_smart=use_smart, precision=precision)
             local_mask = mask & (cells % d_count == my)
             local_cells = jnp.minimum(cells // d_count, c_loc - 1)
-            if mode == "cell_major":
+            if code_domain:
+                from ..ops.onehot_adc import scan_cell_major_codes
+                vals, addr = scan_cell_major_codes(
+                    q, local_cells, local_mask, dec, nrm, emp, cstart, ccap,
+                    pq_cb, k=k, distance=distance, s_max=s_max,
+                    n_cells=c_loc, p_tile=p_tile, precision=precision)
+            elif mode == "cell_major":
                 vals, addr = adc.scan_cell_major(
                     q, local_cells, local_mask, dec, nrm, emp, cstart, ccap,
                     k=k, distance=distance, s_max=s_max, n_cells=c_loc,
@@ -92,11 +112,11 @@ def _sharded_search(mesh, decoded, norms, is_empty, cell_start, cell_capacity,
     fn = shard_map(
         local, mesh=mesh,
         in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),
-                  P(axis), P(), P(), P()),
+                  P(axis), P(), P(), P(), P()),
         out_specs=(P(), P()),
         check_vma=False)
     return fn(decoded, norms, is_empty, cell_start, cell_capacity, ids_sh,
-              scales_sh, codebook, q, temperature)
+              scales_sh, codebook, pq_cb, q, temperature)
 
 
 @functools.partial(jax.jit, static_argnames=("mesh", "axis", "n_pad"))
@@ -163,8 +183,10 @@ class ShardedIVFPQSearcher:
     def __init__(self, index, mesh=None, scan_mode="cell_major", p_tile=128,
                  scan_group=1):
         self._int8 = bool(getattr(index, "_int8_cache", False))
-        assert not (self._int8 and scan_mode == "query_major"), \
-            "int8 caches have no query_major path (ops/adc.py) — use " \
+        self._codes = bool(getattr(index, "_code_domain", False))
+        assert not ((self._int8 or self._codes)
+                    and scan_mode == "query_major"), \
+            "int8/code-domain tiers have no query_major path — use " \
             "cell_major or flat"
         self.index = index
         self.mesh = mesh if mesh is not None else get_mesh()
@@ -184,7 +206,10 @@ class ShardedIVFPQSearcher:
         n_cells = idx.n_cells
         starts = np.asarray(idx._cell_start, np.int64)
         caps = np.asarray(idx._cell_capacity, np.int64)
-        decoded = np.asarray(idx.aux("decoded"))
+        # code-domain shards scan the raw uint8 codes (the m B/slot memory
+        # contract survives sharding; `decoded` names the scan payload)
+        decoded = np.asarray(idx._storage if self._codes
+                             else idx.aux("decoded"))
         norms = np.asarray(idx.aux("norm"))[:, 0]
         empty = np.asarray(idx._is_empty)
         a2i = np.asarray(idx._address2id)
@@ -238,6 +263,11 @@ class ShardedIVFPQSearcher:
         repl = NamedSharding(self.mesh, P())
         self.codebook = jax.device_put(
             idx.vq_codec.kmeans._centroids[0], repl)
+        # replicated PQ scan codebook for code-domain shards ([1,1,1] dummy
+        # otherwise so the jitted search signature stays stable)
+        self.pq_cb = jax.device_put(
+            idx._scan_codebook if self._codes
+            else jnp.zeros((1, 1, 1), jnp.float32), repl)
         # host shadows for sharded add routing: next free slot per local
         # cell = one past the LAST live slot (holes from prior removals are
         # not reused by the sharded path; they stay masked empty — an
@@ -333,7 +363,10 @@ class ShardedIVFPQSearcher:
             codes_nm = idx.pq_codec.encode_nd(x.T)
             decoded_rows = idx.pq_codec.decode_nd(codes_nm)
         norms_rows = jnp.sum(jnp.square(decoded_rows), axis=-1)
-        if self._int8:
+        if self._codes:
+            decoded_rows = idx._pack_codes(codes_nm)  # [n, m_st] uint8
+            scale_rows = jnp.zeros((n,), jnp.float32)
+        elif self._int8:
             decoded_rows, scale_rows = util.int8_quantize_rows(decoded_rows)
         else:
             scale_rows = jnp.zeros((n,), jnp.float32)
@@ -432,7 +465,7 @@ class ShardedIVFPQSearcher:
         return _sharded_search(
             self.mesh, dec, nrm, emp,
             self.cell_start, self.cell_capacity, ids_sh, sc, self.codebook,
-            q, jnp.float32(idx.smart_probing_temperature),
+            self.pq_cb, q, jnp.float32(idx.smart_probing_temperature),
             axis=self.axis, k=int(k), n_probe=n_probe,
             use_smart=idx.use_smart_probing, distance=self.distance,
             s_max=util.next_pow2(self.s_max), c_loc=self.cells_per_shard,
