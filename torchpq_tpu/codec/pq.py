@@ -71,12 +71,72 @@ def _decode_nd(codes_nm, codebook, *, m, dsub, fast=False):
     return out.reshape(n_pad, m * dsub)[:n]
 
 
+@functools.partial(jax.jit, static_argnames=("eta", "k"))
+def _aniso_assign(sub, cents, *, eta, k):
+    """Anisotropic (score-aware) codeword assignment, Guo et al. 2020
+    ("Accelerating Large-Scale Inference with Anisotropic Vector
+    Quantization", ScaNN), separable per-subvector approximation.
+
+    Loss per (row, codeword): eta*|r_par|^2 + |r_orth|^2 with r = x - c
+    decomposed along x_hat = x/|x|. Row-constant terms dropped, the cost
+    reduces to |c|^2 - 2*eta*|x|*p + (eta-1)*p^2 with p = <c, x_hat> — two
+    batched matmul terms per subvector. sub [m, n, dsub]; cents
+    [m, k, dsub] -> labels [m, n]."""
+    nrm = jnp.linalg.norm(sub, axis=-1)                       # [m, n]
+    xhat = sub / jnp.maximum(nrm, 1e-12)[..., None]
+    p = jnp.einsum("mnd,mkd->mnk", xhat, cents,
+                   preferred_element_type=jnp.float32)
+    c_sq = jnp.sum(cents * cents, axis=-1)                    # [m, k]
+    cost = (c_sq[:, None, :] - (2.0 * eta) * nrm[..., None] * p
+            + (eta - 1.0) * p * p)
+    return jnp.argmin(cost, axis=-1).astype(jnp.int32)        # [m, n]
+
+
+@functools.partial(jax.jit, static_argnames=("eta", "iters", "k"))
+def _aniso_refine(sub, cents, *, eta, iters, k):
+    """Anisotropic Lloyd refinement (warm-started from plain k-means).
+
+    Update: the minimizer of the summed anisotropic loss per cluster is the
+    [dsub, dsub] solve (n_c*I + (eta-1)*sum x_hat x_hat^T) c = eta*sum x —
+    closed form because the separable loss is quadratic in c (at eta=1 this
+    is exactly the plain Lloyd mean). Batched over m subvectors x k
+    clusters; empty clusters keep their centroid."""
+    m, n, dsub = sub.shape
+    nrm = jnp.linalg.norm(sub, axis=-1)
+    xhat = sub / jnp.maximum(nrm, 1e-12)[..., None]
+    outer = (xhat[..., :, None] * xhat[..., None, :]).reshape(
+        m, n, dsub * dsub)
+    eye = jnp.eye(dsub, dtype=jnp.float32)
+    e1 = eta - 1.0
+
+    def seg(vals, labels):  # [m, n, D] -> [m, k, D]
+        return jax.vmap(
+            lambda v, l: jax.ops.segment_sum(v, l, num_segments=k)
+        )(vals, labels)
+
+    def body(_, c):
+        lab = _aniso_assign(sub, c, eta=eta, k=k)
+        cnt = seg(jnp.ones((m, n, 1), jnp.float32), lab)[..., 0]  # [m, k]
+        sx = seg(sub, lab)                                        # [m, k, d]
+        mat = seg(outer, lab).reshape(m, k, dsub, dsub)
+        a = cnt[..., None, None] * eye + e1 * mat + 1e-6 * eye
+        c_new = jnp.linalg.solve(a, (eta * sx)[..., None])[..., 0]
+        return jnp.where((cnt > 0)[..., None], c_new, c)
+
+    return jax.lax.fori_loop(0, iters, body, cents)
+
+
 class PQCodec(BaseCodec):
     def __init__(self, d_vector, n_subvectors=8, n_clusters=256,
                  distance="euclidean", verbose=0, max_iter=25, n_redo=1,
-                 tol=1e-4, seed=0):
+                 tol=1e-4, seed=0, anisotropic_eta=None, anisotropic_iters=8):
         super().__init__(verbose=verbose)
         assert d_vector % n_subvectors == 0
+        assert anisotropic_eta is None or anisotropic_eta >= 1.0, \
+            "anisotropic_eta weights the parallel residual; must be >= 1"
+        self.anisotropic_eta = (None if anisotropic_eta is None
+                                else float(anisotropic_eta))
+        self.anisotropic_iters = int(anisotropic_iters)
         self.d_vector = d_vector
         self.n_subvectors = n_subvectors
         self.n_clusters = n_clusters
