@@ -102,15 +102,23 @@ class MultiKMeans(StateModule):
         return jnp.swapaxes(data, 1, 2).astype(jnp.float32)
 
     def fit(self, data, centroids=None):
-        """data: [m, d_subvector, n_data]. Returns labels [m, n]."""
-        x = self._to_internal(data)
+        """data: [m, d_subvector, n_data]. Returns labels [m, n].
+
+        Small d_subvector (< 128 lanes) keeps the data feature-major
+        ([m, d, n] — the layout it already arrives in) all the way through
+        Lloyd: a [m, n, d] array with trailing d below the TPU lane tile
+        pays up to 64x HBM padding (ops/max_sim.py dn path)."""
+        data = jnp.asarray(data)
+        assert data.ndim == 3, f"expected [m, d, n], got {data.shape}"
+        dn = data.shape[1] < 128
+        x = data.astype(jnp.float32) if dn else self._to_internal(data)
         init = None if centroids is None else jnp.swapaxes(
             jnp.asarray(centroids), 1, 2)
         cents, labels, inertia, iters = lloyd.fit_redo(
             x, jax.random.PRNGKey(self.seed), n_clusters=self.n_clusters,
             n_redo=self.n_redo, max_iter=self.max_iter, tol=self.tol,
             distance=self.distance, init_mode=self.init_mode,
-            init_centroids=init)
+            init_centroids=init, layout="dn" if dn else "nd")
         self.register_state("_centroids", cents)
         self.print_message(
             f"fit done: {int(iters)} iters, inertia={inertia}", 1)
@@ -119,6 +127,15 @@ class MultiKMeans(StateModule):
     def predict(self, query):
         """query: [m, d_subvector, n] -> labels [m, n]."""
         assert self.is_trained, "kmeans is not trained"
+        query = jnp.asarray(query)
+        assert query.ndim == 3, f"expected [m, d, n], got {query.shape}"
+        if query.shape[1] < 128:  # feature-major path, as in fit
+            x = query.astype(jnp.float32)
+            if self.distance == "cosine":
+                x = util.normalize(x, axis=1)
+            _, labels = batched_max_sim(x, self._centroids, self.distance,
+                                        layout="dn")
+            return labels
         x = self._to_internal(query)
         if self.distance == "cosine":
             x = util.normalize(x)

@@ -172,16 +172,68 @@ def batched_topk_sim(data, centroids, k_top, distance, precision=None):
                                  precision=precision)
 
 
-def batched_max_sim(data, centroids, distance, precision=None):
+def _scores_batched_dn(b_dn, centroids, distance, precision):
+    """Feature-major variant: b_dn [m, d, c], centroids [m, k, d] ->
+    [m, c, k]. Contracting d directly from the [m, d, c] layout never
+    materializes a [.., c, d] array — the whole point of the dn path (a
+    trailing dim of d_subvector=2 pays a 64x lane pad on TPU)."""
+    if distance == "manhattan":
+        # L1 needs the elementwise |b - c| expansion; transpose THIS CHUNK
+        # only (the [m, c, d] tile is chunk-bounded, never the full data)
+        return _scores_batched(jnp.swapaxes(b_dn, 1, 2), centroids,
+                               distance, precision)
+    ab = jnp.einsum("mdc,mkd->mck", b_dn, centroids,
+                    precision=precision or config.TRAIN_PRECISION,
+                    preferred_element_type=jnp.float32)
+    if distance in ("inner", "cosine"):
+        return ab
+    if distance == "euclidean":
+        return (2.0 * ab
+                - jnp.sum(jnp.square(b_dn), axis=1)[:, :, None]
+                - jnp.sum(jnp.square(centroids), axis=-1)[:, None, :])
+    raise AssertionError(distance)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("distance", "chunk", "precision"))
+def _batched_max_sim_dn_jit(data_dn, centroids, *, distance, chunk,
+                            precision):
+    m, d, n = data_dn.shape
+
+    def one(b_dn):
+        sim = _scores_batched_dn(b_dn, centroids, distance, precision)
+        return jnp.max(sim, axis=-1), jnp.argmax(sim, axis=-1).astype(jnp.int32)
+
+    if n <= chunk:
+        return one(data_dn)
+    n_pad = util.round_up(n, chunk)
+    data_pad = jnp.pad(data_dn, ((0, 0), (0, 0), (0, n_pad - n)))
+    blocks = data_pad.reshape(m, d, -1, chunk).transpose(2, 0, 1, 3)
+    maxs, labels = jax.lax.map(one, blocks)  # [nb, m, c]
+    maxs = maxs.transpose(1, 0, 2).reshape(m, -1)[:, :n]
+    labels = labels.transpose(1, 0, 2).reshape(m, -1)[:, :n]
+    return maxs, labels
+
+
+def batched_max_sim(data, centroids, distance, precision=None, layout="nd"):
     """Batched (multi-problem) fused assignment for MultiKMeans.
 
-    data: [m, n, d], centroids: [m, k, d] -> (maxsims [m, n], labels [m, n]).
+    data: [m, n, d] (layout="nd") or [m, d, n] (layout="dn"; use for small
+    d_subvector — a trailing dim below the 128-lane tile pays up to 64x
+    HBM padding, so PQ training/encoding keeps data feature-major),
+    centroids: [m, k, d] -> (maxsims [m, n], labels [m, n]).
     Reference: MaxSimCuda batched modes driven by MultiKMeans
     (clustering/MultiKMeans.py). Chunked over n.
     """
     distance = canonical_distance(distance)
-    m, n, d = data.shape
+    if layout == "dn":
+        m, d, n = data.shape
+    else:
+        m, n, d = data.shape
     k = centroids.shape[1]
     chunk = _chunk_rows(config.MAX_SIM_CHUNK_ELEMS, max(m * k, 1))
+    if layout == "dn":
+        return _batched_max_sim_dn_jit(data, centroids, distance=distance,
+                                       chunk=chunk, precision=precision)
     return _batched_max_sim_jit(data, centroids, distance=distance,
                                 chunk=chunk, precision=precision)

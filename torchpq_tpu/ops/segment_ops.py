@@ -49,3 +49,37 @@ def batched_compute_centroids(data, labels, n_clusters):
         jnp.ones(m * n, jnp.float32), flat_labels,
         num_segments=m * n_clusters)
     return sums.reshape(m, n_clusters, d), counts.reshape(m, n_clusters)
+
+
+@functools.partial(jax.jit, static_argnames=("n_clusters", "chunk"))
+def batched_compute_centroids_dn(data_dn, labels, n_clusters, *, chunk):
+    """Feature-major variant: data_dn [m, d, n], labels [m, n] ->
+    (sums [m, n_clusters, d], counts [m, n_clusters]).
+
+    Per-cluster sums as chunked one-hot MXU matmuls — sums[m, d, k] +=
+    data_chunk[m, d, c] @ onehot(labels_chunk)[m, c, k] — so no [.., n, d]
+    array ever exists (the nd variant's segment_sum needs row-major rows;
+    at d_subvector=2 that layout pays a 64x lane pad — ivfpq.py's 100M
+    demo OOMed exactly there)."""
+    m, d, n = data_dn.shape
+    n_pad = ((n + chunk - 1) // chunk) * chunk
+    data_pad = jnp.pad(data_dn, ((0, 0), (0, 0), (0, n_pad - n)))
+    # padded tail: labels = n_clusters (an extra bin the onehot drops)
+    lab_pad = jnp.pad(labels, ((0, 0), (0, n_pad - n)),
+                      constant_values=n_clusters)
+    blocks = data_pad.reshape(m, d, -1, chunk).transpose(2, 0, 1, 3)
+    lab_blocks = lab_pad.reshape(m, -1, chunk).swapaxes(0, 1)
+
+    def step(carry, args):
+        sums, counts = carry
+        b_dn, lab = args  # [m, d, c], [m, c]
+        oh = jax.nn.one_hot(lab, n_clusters, dtype=jnp.float32)  # [m, c, k]
+        sums = sums + jnp.einsum("mdc,mck->mdk", b_dn, oh,
+                                 preferred_element_type=jnp.float32)
+        counts = counts + jnp.sum(oh, axis=1)
+        return (sums, counts), None
+
+    init = (jnp.zeros((m, d, n_clusters), jnp.float32),
+            jnp.zeros((m, n_clusters), jnp.float32))
+    (sums, counts), _ = jax.lax.scan(step, init, (blocks, lab_blocks))
+    return jnp.swapaxes(sums, 1, 2), counts
