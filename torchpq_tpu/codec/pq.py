@@ -71,8 +71,27 @@ def _decode_nd(codes_nm, codebook, *, m, dsub, fast=False):
     return out.reshape(n_pad, m * dsub)[:n]
 
 
-@functools.partial(jax.jit, static_argnames=("eta", "k"))
-def _aniso_assign(sub, cents, *, eta, k):
+def _aniso_chunk(m, k):
+    from .. import config
+    return util.next_pow2(min(max(
+        8, config.MAX_SIM_CHUNK_ELEMS // max(m * k, 1)), 65536))
+
+
+def _aniso_blocks(sub_dn, chunk, labels=None, k=None):
+    """Pad n to the chunk and split into [nb, m, d, chunk] blocks (and the
+    matching label blocks, padded into the dropped one-hot bin k)."""
+    m, d, n = sub_dn.shape
+    n_pad = util.round_up(n, chunk)
+    pad = jnp.pad(sub_dn, ((0, 0), (0, 0), (0, n_pad - n)))
+    blocks = pad.reshape(m, d, -1, chunk).transpose(2, 0, 1, 3)
+    if labels is None:
+        return blocks
+    lab_pad = jnp.pad(labels, ((0, 0), (0, n_pad - n)), constant_values=k)
+    return blocks, lab_pad.reshape(m, -1, chunk).swapaxes(0, 1)
+
+
+@functools.partial(jax.jit, static_argnames=("eta", "k", "chunk"))
+def _aniso_assign(sub_dn, cents, *, eta, k, chunk):
     """Anisotropic (score-aware) codeword assignment, Guo et al. 2020
     ("Accelerating Large-Scale Inference with Anisotropic Vector
     Quantization", ScaNN), separable per-subvector approximation.
@@ -80,45 +99,64 @@ def _aniso_assign(sub, cents, *, eta, k):
     Loss per (row, codeword): eta*|r_par|^2 + |r_orth|^2 with r = x - c
     decomposed along x_hat = x/|x|. Row-constant terms dropped, the cost
     reduces to |c|^2 - 2*eta*|x|*p + (eta-1)*p^2 with p = <c, x_hat> — two
-    batched matmul terms per subvector. sub [m, n, dsub]; cents
-    [m, k, dsub] -> labels [m, n]."""
-    nrm = jnp.linalg.norm(sub, axis=-1)                       # [m, n]
-    xhat = sub / jnp.maximum(nrm, 1e-12)[..., None]
-    p = jnp.einsum("mnd,mkd->mnk", xhat, cents,
-                   preferred_element_type=jnp.float32)
+    batched matmul terms per subvector, chunked over n in the feature-major
+    [m, d, n] layout (a [m, n, dsub] array pays up to 64x lane padding).
+    sub_dn [m, dsub, n]; cents [m, k, dsub] -> labels [m, n]."""
+    m, d, n = sub_dn.shape
     c_sq = jnp.sum(cents * cents, axis=-1)                    # [m, k]
-    cost = (c_sq[:, None, :] - (2.0 * eta) * nrm[..., None] * p
-            + (eta - 1.0) * p * p)
-    return jnp.argmin(cost, axis=-1).astype(jnp.int32)        # [m, n]
+
+    def one(b_dn):
+        nrm = jnp.sqrt(jnp.sum(jnp.square(b_dn), axis=1))     # [m, c]
+        xhat = b_dn / jnp.maximum(nrm, 1e-12)[:, None, :]
+        p = jnp.einsum("mdc,mkd->mck", xhat, cents,
+                       preferred_element_type=jnp.float32)
+        cost = (c_sq[:, None, :] - (2.0 * eta) * nrm[..., None] * p
+                + (eta - 1.0) * p * p)
+        return jnp.argmin(cost, axis=-1).astype(jnp.int32)    # [m, c]
+
+    if n <= chunk:
+        return one(sub_dn)
+    labels = jax.lax.map(one, _aniso_blocks(sub_dn, chunk))   # [nb, m, c]
+    return labels.transpose(1, 0, 2).reshape(m, -1)[:, :n]
 
 
-@functools.partial(jax.jit, static_argnames=("eta", "iters", "k"))
-def _aniso_refine(sub, cents, *, eta, iters, k):
+@functools.partial(jax.jit, static_argnames=("eta", "iters", "k", "chunk"))
+def _aniso_refine(sub_dn, cents, *, eta, iters, k, chunk):
     """Anisotropic Lloyd refinement (warm-started from plain k-means).
 
     Update: the minimizer of the summed anisotropic loss per cluster is the
     [dsub, dsub] solve (n_c*I + (eta-1)*sum x_hat x_hat^T) c = eta*sum x —
     closed form because the separable loss is quadratic in c (at eta=1 this
     is exactly the plain Lloyd mean). Batched over m subvectors x k
-    clusters; empty clusters keep their centroid."""
-    m, n, dsub = sub.shape
-    nrm = jnp.linalg.norm(sub, axis=-1)
-    xhat = sub / jnp.maximum(nrm, 1e-12)[..., None]
-    outer = (xhat[..., :, None] * xhat[..., None, :]).reshape(
-        m, n, dsub * dsub)
-    eye = jnp.eye(dsub, dtype=jnp.float32)
+    clusters; per-cluster sums accumulate as chunked one-hot contractions
+    in the feature-major layout (same recipe as
+    ops/segment_ops.batched_compute_centroids_dn); empty clusters keep
+    their centroid."""
+    m, d, n = sub_dn.shape
+    eye = jnp.eye(d, dtype=jnp.float32)
     e1 = eta - 1.0
 
-    def seg(vals, labels):  # [m, n, D] -> [m, k, D]
-        return jax.vmap(
-            lambda v, l: jax.ops.segment_sum(v, l, num_segments=k)
-        )(vals, labels)
-
     def body(_, c):
-        lab = _aniso_assign(sub, c, eta=eta, k=k)
-        cnt = seg(jnp.ones((m, n, 1), jnp.float32), lab)[..., 0]  # [m, k]
-        sx = seg(sub, lab)                                        # [m, k, d]
-        mat = seg(outer, lab).reshape(m, k, dsub, dsub)
+        lab = _aniso_assign(sub_dn, c, eta=eta, k=k, chunk=chunk)
+        blocks, lab_blocks = _aniso_blocks(sub_dn, chunk, lab, k)
+
+        def step(carry, args):
+            cnt, sx, mat = carry
+            b_dn, lb = args                                   # [m,d,c], [m,c]
+            nrm = jnp.sqrt(jnp.sum(jnp.square(b_dn), axis=1))
+            xhat = b_dn / jnp.maximum(nrm, 1e-12)[:, None, :]
+            oh = jax.nn.one_hot(lb, k, dtype=jnp.float32)     # [m, c, k]
+            cnt = cnt + jnp.sum(oh, axis=1)
+            sx = sx + jnp.einsum("mdc,mck->mkd", b_dn, oh,
+                                 preferred_element_type=jnp.float32)
+            mat = mat + jnp.einsum("mdc,mec,mck->mkde", xhat, xhat, oh,
+                                   preferred_element_type=jnp.float32)
+            return (cnt, sx, mat), None
+
+        init = (jnp.zeros((m, k), jnp.float32),
+                jnp.zeros((m, k, d), jnp.float32),
+                jnp.zeros((m, k, d, d), jnp.float32))
+        (cnt, sx, mat), _ = jax.lax.scan(step, init, (blocks, lab_blocks))
         a = cnt[..., None, None] * eye + e1 * mat + 1e-6 * eye
         c_new = jnp.linalg.solve(a, (eta * sx)[..., None])[..., 0]
         return jnp.where((cnt > 0)[..., None], c_new, c)
@@ -165,6 +203,16 @@ class PQCodec(BaseCodec):
         assert x.shape[0] == self.d_vector
         sub = x.reshape(self.n_subvectors, self.d_subvector, -1)
         self.kmeans.fit(sub, centroids=centroids)
+        if self.anisotropic_eta is not None and self.anisotropic_eta > 1.0:
+            # score-aware refinement (ScaNN, Guo et al. 2020): weight the
+            # residual component parallel to the datapoint by eta — raises
+            # recall@k for MIPS/cosine retrieval at equal code budget
+            m, k = self.n_subvectors, self.n_clusters
+            cents = _aniso_refine(
+                sub.astype(jnp.float32), self.kmeans._centroids,
+                eta=self.anisotropic_eta, iters=self.anisotropic_iters,
+                k=k, chunk=_aniso_chunk(m, k))
+            self.kmeans.register_state("_centroids", cents)
         self._set_trained()
 
     def encode(self, x):
@@ -195,13 +243,21 @@ class PQCodec(BaseCodec):
         assert self.is_trained, "codec is not trained"
         x_nd = jnp.asarray(x_nd).astype(jnp.float32)
         n = x_nd.shape[0]
-        sub = x_nd.reshape(n, self.n_subvectors, self.d_subvector)
-        sub = jnp.swapaxes(sub, 0, 1)  # [m, n, dsub]
+        # feature-major [m, dsub, n]: a [m, n, dsub] array with tiny
+        # trailing dsub pays up to 64x lane padding (ops/max_sim.py dn path)
+        sub = x_nd.T.reshape(self.n_subvectors, self.d_subvector, n)
+        if self.anisotropic_eta is not None and self.anisotropic_eta > 1.0:
+            labels = _aniso_assign(
+                sub, self.codebook_internal, eta=self.anisotropic_eta,
+                k=self.n_clusters,
+                chunk=_aniso_chunk(self.n_subvectors, self.n_clusters))
+            return labels.T.astype(jnp.uint8)
         if self.distance == "cosine":
             # assignment on normalized subvectors, mirroring the reference's
             # cosine MultiKMeans fit/predict (clustering/KMeans.py:307-321)
-            sub = util.normalize(sub)
-        _, labels = batched_max_sim(sub, self.codebook_internal, self.distance)
+            sub = util.normalize(sub, axis=1)
+        _, labels = batched_max_sim(sub, self.codebook_internal,
+                                    self.distance, layout="dn")
         return labels.T.astype(jnp.uint8)  # [n, m]
 
     def decode_nd(self, codes_nm):
