@@ -590,11 +590,27 @@ def scan_cell_major(query, cells, probe_mask, decoded, norms, is_empty,
     key_neg_big = _f32_sortable_i32(-big) & jnp.int32(~slot_mask)
 
     from .pallas_scan import PALLAS_WINDOW_VMEM_BYTES
+    # blocks per grid step amortize the ~4 us/step pipeline overhead; the
+    # kernel's double-buffered candidate scratch is 2 * bps windows of
+    # [s_eff, d_dec], so shrink bps (pow2 — any bps | block_chunk is safe)
+    # until the scratch fits the VMEM budget (wide windows / d=960 caches
+    # run at bps=1 instead of falling back to XLA).
+    bps = 4
+    while bps > 1 and (2 * bps * s_eff * d_dec * decoded.dtype.itemsize
+                       > PALLAS_WINDOW_VMEM_BYTES):
+        bps //= 2
+    interpret = interpret or config.PALLAS_INTERPRET
     use_pallas = (
-        impl == "pallas" and distance != "manhattan" and not int8_cache
-        and k_pair <= 32
+        impl in ("pallas", "auto") and distance != "manhattan"
+        and not int8_cache
+        and k_pair <= 64
+        # the in-kernel scratch slice cand_buf[slot, j] needs a lane-
+        # aligned trailing dim (Mosaic: "Slice shape along dimension 1
+        # must be aligned to tiling (128)") — d=64/960 caches take XLA;
+        # interpret mode has no tiling (parity tests run d=32)
+        and (d_dec % 128 == 0 or interpret)
         # the double-buffered candidate windows must fit VMEM
-        and 2 * s_eff * d_dec * decoded.dtype.itemsize
+        and 2 * bps * s_eff * d_dec * decoded.dtype.itemsize
         <= PALLAS_WINDOW_VMEM_BYTES
         # the approx kernel's strided group reduce needs a window the
         # G=128 groups divide (compacted layouts use multiples of 128;
@@ -606,8 +622,8 @@ def scan_cell_major(query, cells, probe_mask, decoded, norms, is_empty,
         import warnings
         warnings.warn(
             "scan_cell_major: impl='pallas' requested but the kernel gate "
-            f"fails (k_pair={k_pair}<=32? dist={distance}!=manhattan? "
-            f"int8={int8_cache}? window 2*{s_eff}*{d_dec}*"
+            f"fails (k_pair={k_pair}<=64? dist={distance}!=manhattan? "
+            f"int8={int8_cache}? d={d_dec}%128==0? window 2*{bps}*{s_eff}*{d_dec}*"
             f"{decoded.dtype.itemsize} <= {PALLAS_WINDOW_VMEM_BYTES}B? "
             f"approx needs pow2 s_eff<=4096, got {s_eff}) — falling back "
             "to XLA", stacklevel=2)
@@ -615,7 +631,6 @@ def scan_cell_major(query, cells, probe_mask, decoded, norms, is_empty,
     if use_pallas:
         from .pallas_scan import scan_blocks_pallas
 
-        interpret = interpret or config.PALLAS_INTERPRET
         # stage the per-block penalty rows in XLA (4 B/slot; an in-kernel
         # penalty DMA is impossible — 1-D HBM memrefs carry 1024-element
         # tiling, cell starts are only 16-aligned). A row gather over the
@@ -642,7 +657,7 @@ def scan_cell_major(query, cells, probe_mask, decoded, norms, is_empty,
         combo = scan_blocks_pallas(
             qvecs_p, start_c_all, pen_all, decoded,
             s_eff=s_eff, k_pair=k_pair, p_tile=p_tile, distance=distance,
-            approx=pack32, slot_mask=slot_mask, bps=4, interpret=interpret)
+            approx=pack32, slot_mask=slot_mask, bps=bps, interpret=interpret)
     else:
         qvecs_all = query_q.astype(
             mm_dtype if distance != "manhattan" else query.dtype

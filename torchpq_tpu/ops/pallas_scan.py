@@ -225,8 +225,17 @@ def scan_blocks_pallas(qvecs, start_all, pen_all, decoded, *, s_eff, k_pair,
     if approx:
         # approx_max_k-style reduction: one winner per strided group. G=128
         # keeps the k select passes on one [p, 128] vreg-tile row; only
-        # engage when it actually shrinks the pass width.
-        n_groups = 128 if s_eff >= 256 else s_eff
+        # engage when it actually shrinks the pass width. Deep selects
+        # (k_pair > 32, the k=100 path) widen the group count: with ~30
+        # true winners in one hot cell, 128 bins lose ~3.3 of them to
+        # collisions (birthday bound) while 512 bins lose ~0.85 — the
+        # extra pass width is 4 vregs/row instead of 1, still VPU-cheap
+        # next to the block matmul.
+        n_groups = s_eff
+        for g in ((512, 256, 128) if k_pair > 32 else (128,)):
+            if s_eff % g == 0 and s_eff >= 2 * g:
+                n_groups = g
+                break
         assert s_eff % n_groups == 0, "approx kernel needs pow2 s_eff"
     else:
         n_groups = s_eff
