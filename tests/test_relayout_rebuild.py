@@ -15,9 +15,11 @@ import pytest
 from torchpq_tpu.index import IVFPQIndex, IVFPQRIndex
 
 
-def _check_decoded_cache(index, residual):
+def _check_decoded_cache(index, residual, rerank=False):
     """aux('decoded')[addr] must equal the PQ reconstruction of the codes
-    at addr (+ the owning cell's coarse centroid under residual PQ)."""
+    at addr (+ the owning cell's coarse centroid under residual PQ; + the
+    rerank-code decode for IVFPQR, whose cache rows are the full two-stage
+    reconstruction)."""
     live = np.flatnonzero(~np.asarray(index._is_empty))
     assert len(live) == index.n_items
     codes = np.asarray(index._storage)[live]
@@ -27,6 +29,10 @@ def _check_decoded_cache(index, residual):
         cell = np.searchsorted(starts, live, side="right") - 1
         vq_rows = np.asarray(index.vq_codec.kmeans._centroids[0])
         dec = dec + vq_rows[cell]
+    if rerank:
+        rcodes = np.asarray(index.aux("rerank_codes"))[live]
+        dec = dec + np.asarray(
+            index.rerank_codec.decode_nd(jnp.asarray(rcodes)))
     cache = np.asarray(index.aux("decoded"))[live].astype(np.float32)
     if index._int8_cache:
         cache = cache * np.asarray(index.aux("scale"))[live]
@@ -55,9 +61,9 @@ def test_expand_rebuilds_scan_cache(rng, residual, cache):
 
 
 def test_expand_preserves_rerank_codes(rng):
-    """IVFPQR keeps no decoded_full cache (rerank decodes candidates from
-    codes on the fly); a relayout must preserve the rerank codes row store
-    and the two-stage search must still be exact on its own points."""
+    """A relayout must preserve the rerank-codes row store and rebuild the
+    IVFPQR decoded cache as the FULL two-stage reconstruction (the refined
+    cache IS the rerank mechanism for cached configs — index/ivfpqr.py)."""
     d, n = 32, 1000
     x = rng.standard_normal((d, n)).astype(np.float32)
     index = IVFPQRIndex(d_vector=d, n_subvectors=8, n_subvectors_rerank=16,
@@ -66,8 +72,7 @@ def test_expand_preserves_rerank_codes(rng):
     cap0 = index.capacity
     ids = np.asarray(index.add(jnp.asarray(x)))
     assert index.capacity > cap0
-    _check_decoded_cache(index, residual=False)
-    assert "decoded_full" not in index._aux  # memory contract: codes only
+    _check_decoded_cache(index, residual=False, rerank=True)
     # rerank codes moved with their rows: re-encoding the stored rows'
     # second-stage residual reproduces the aux store
     live = np.flatnonzero(~np.asarray(index._is_empty))

@@ -128,10 +128,13 @@ def _compact_flat_cache(decoded, norms, is_empty, scales, *, n_pad):
 @functools.partial(
     jax.jit, static_argnames=("chunk", "int8", "out_dtype", "residual"))
 def _cache_chunk(storage, cell_start, pq_codebook, vq_rows, c0, *, chunk,
-                 int8, out_dtype, residual):
+                 int8, out_dtype, residual, rerank_storage=None,
+                 rr_codebook=None):
     """Recompute one [chunk, d] block of the decoded scan cache from the
     canonical uint8 codes (inner step of the relayout aux rebuilder).
-    c0 is clamped by the caller; overlapping rows recompute identically."""
+    c0 is clamped by the caller; overlapping rows recompute identically.
+    When rerank codes exist (IVFPQR with a decoded cache), the cache rows
+    are the FULL two-stage reconstruction — see index/ivfpqr.py."""
     from ..codec.pq import _decode_nd
     m, _, dsub = pq_codebook.shape
     codes = jax.lax.dynamic_slice(storage, (c0, 0), (chunk, storage.shape[1]))
@@ -141,6 +144,11 @@ def _cache_chunk(storage, cell_start, pq_codebook, vq_rows, c0, *, chunk,
         cell = jnp.clip(jnp.searchsorted(cell_start, idx, side="right") - 1,
                         0, cell_start.shape[0] - 1)
         dec = dec + vq_rows[cell]
+    if rerank_storage is not None:
+        mr, _, dsubr = rr_codebook.shape
+        rcodes = jax.lax.dynamic_slice(
+            rerank_storage, (c0, 0), (chunk, rerank_storage.shape[1]))
+        dec = dec + _decode_nd(rcodes, rr_codebook, m=mr, dsub=dsubr)
     nrm = jnp.sum(jnp.square(dec), axis=-1, keepdims=True)
     if int8:
         q, scale = util.int8_quantize_rows(dec)
@@ -274,7 +282,8 @@ class IVFPQIndex(CellContainer):
                  initial_size=None, expand_step_size=128,
                  expand_mode="double", distance="euclidean", device=None,
                  pq_use_residual=False, verbose=0,
-                 scan_cache_dtype=None, scan_mode="auto", n_bits=8, seed=0):
+                 scan_cache_dtype=None, scan_mode="auto", n_bits=8, seed=0,
+                 anisotropic_eta=None, anisotropic_iters=8):
         assert d_vector % n_subvectors == 0
         assert n_bits in (4, 8), "n_bits must be 4 or 8"
         if n_bits == 4:
@@ -313,9 +322,13 @@ class IVFPQIndex(CellContainer):
         # "device" (ops/spill.py round-based, no per-item host sync) or
         # "host" (native C++ greedy, exact arrival order)
         self.spill_impl = "device"
-        # block-scan implementation: "xla" (lax.map + dynamic_slice) or
-        # "pallas" (fused double-buffered kernel; k <= 16)
-        self.scan_impl = "xla"
+        # block-scan implementation: "auto" (the fused double-buffered
+        # Pallas kernel whenever its gate passes — measured 1.3-1.6x the
+        # XLA block loop at the 1M bench shape — else XLA), "xla"
+        # (lax.map + dynamic_slice), or "pallas" (demand the kernel; warns
+        # and falls back if the gate fails, e.g. k_pair > 64 / manhattan /
+        # int8 cache)
+        self.scan_impl = "auto"
         # supercell grouping: scan `scan_group` adjacent cells per block
         # (fewer, larger window DMAs; extra scored neighbors only help recall)
         self.scan_group = 1
@@ -348,7 +361,9 @@ class IVFPQIndex(CellContainer):
         self.register_module("pq_codec", PQCodec(
             d_vector=d_vector, n_subvectors=n_subvectors,
             n_clusters=16 if n_bits == 4 else 256,
-            distance=distance, verbose=verbose, seed=seed))
+            distance=distance, verbose=verbose, seed=seed,
+            anisotropic_eta=anisotropic_eta,
+            anisotropic_iters=anisotropic_iters))
         self._ivfpq_topk = IVFPQTopk(n_cells=n_cells, mode=scan_mode)
         # compacted flat-scan cache: (mutation counter it was built at,
         # (decoded, norms, is_empty, addr_map, scales))
@@ -367,6 +382,12 @@ class IVFPQIndex(CellContainer):
                 + (("scale",) if self._int8_cache else ()),
                 self._rebuild_scan_cache)
 
+    def _rerank_cache_parts(self):
+        """(rerank_codes, rerank_codebook) to fold into the decoded cache —
+        (None, None) here; IVFPQRIndex overrides (its cache rows are the
+        full two-stage reconstruction)."""
+        return None, None
+
     def _rebuild_scan_cache(self):
         """Recompute decoded/norm(/scale) from the canonical codes in
         ~512 MB blocks (see CellContainer.set_aux_rebuilder). Never-written
@@ -378,6 +399,7 @@ class IVFPQIndex(CellContainer):
         chunk = min(cap, util.next_pow2(max(16384, (1 << 27) // max(d, 1))))
         vq_rows = (self.vq_codec.kmeans._centroids[0]
                    if self.pq_use_residual else None)
+        rr_store, rr_cb = self._rerank_cache_parts()
         dec = (None if self._code_domain else jnp.zeros((cap, d), dec_dt))
         nrm = jnp.zeros((cap, 1), jnp.float32)
         sc = jnp.zeros((cap, 1), jnp.float32) if self._int8_cache else None
@@ -387,7 +409,8 @@ class IVFPQIndex(CellContainer):
                 self._storage, self._cell_start,
                 self._scan_codebook, vq_rows, c0, chunk=chunk,
                 int8=self._int8_cache, out_dtype=dec_dt,
-                residual=self.pq_use_residual)
+                residual=self.pq_use_residual,
+                rerank_storage=rr_store, rr_codebook=rr_cb)
             if dec is not None:
                 dec = _write_rows(dec, db, c0)
             nrm = _write_rows(nrm, nb, c0)
@@ -748,6 +771,59 @@ class IVFPQIndex(CellContainer):
         self._flat_cache = (ver, res)
         return res
 
+    def plan_scan_mode(self, nq, k):
+        """The scan plan `search` will run for a [d, nq] batch at this k:
+        'flat', 'cell_major', or 'query_major'. scan_mode != 'auto' pins it.
+
+        Query planning: the dense MXU sweep costs ~2.5 ps per
+        query-slot pair vs ~250-450 ps for the block-sparse IVF scan
+        (gathers + per-pair merge bookkeeping), measured on v5e at the
+        100k and 1M bench shapes. Route to the exhaustive sweep when
+        its slot count is within ~128x of what probing would touch —
+        it's then at least as fast AND recall rises to the ADC
+        ceiling (n_probe stays an accuracy floor, as the reference
+        documents it; serving the request with a better plan is fair).
+        The 128x crossover is the approx-epilogue cost model; it
+        applies at k <= 32 (and at high d, where the IVF scan's
+        [blocks, p_tile, d] query-tile gather dominates — measured
+        d=960, k=100: IVF 342 q/s vs flat 39.9k at better recall).
+        k > 32 takes flat_adc_auto's EXACT multi-chunk epilogue
+        (a per-chunk full sort), costlier per slot — but the probed
+        scan's k>32 bookkeeping (k_pair=64 unsort payload + exact
+        final merge) is costlier still: measured on the 1M class
+        sweep at k=100, flat 201k q/s @ recall 0.921 beats EVERY
+        probed point (np=1: 83k @ 0.145, np=8: 103k @ 0.507) — so
+        the k>32 crossover multiplier is 512, covering np=1 at 1M
+        with margin while still letting genuinely huge indexes probe.
+
+        The planner crossovers are pinned by tests/test_planner.py — every
+        headline benchmark number depends on which plan actually ran."""
+        mode = self.scan_mode
+        if mode != "auto":
+            return mode
+        n_probe = min(self.n_probe, self.n_cells)
+        mode = ("query_major" if nq < self._ivfpq_topk.batch_threshold
+                else "cell_major")
+        s_pow2 = util.next_pow2(self.max_cell_capacity)
+        touched = n_probe * s_pow2
+        n_live = max(int(self.n_items), 1)
+        if self._code_domain:
+            # the code-domain planner compares the probed one-hot scan
+            # against the decode-on-the-fly flat sweep (not the dense
+            # sweep): measured on the 1M class shape the probed scan
+            # costs ~750x more per touched slot (np=32: 3.6k q/s vs
+            # flat 23k — benchmark/results/ivf4096_pq64_sift1m_codes
+            # [_flat].json), so probing only pays when it prunes by
+            # ~512x or more (e.g. the 100M single-chip demo).
+            if touched * 512 >= n_live:
+                mode = "flat"
+        elif int(k) <= 32 or self.d_vector >= 512:
+            if self._use_approx_topk and touched * 128 >= n_live:
+                mode = "flat"
+        elif touched * 512 >= n_live:
+            mode = "flat"
+        return mode
+
     def search(self, x, k=1, return_address=False):
         """x: [d_vector, nq] -> (values [nq, k], ids [nq, k]).
 
@@ -762,43 +838,11 @@ class IVFPQIndex(CellContainer):
         n_probe = min(self.n_probe, self.n_cells)
         precision = (config.SEARCH_PRECISION if self._use_tensor_core
                      else jax.lax.Precision.HIGHEST)
-        mode = self.scan_mode
-        if mode == "auto":
-            mode = ("query_major" if nq < self._ivfpq_topk.batch_threshold
-                    else "cell_major")
-            # Query planning: the dense MXU sweep costs ~2.5 ps per
-            # query-slot pair vs ~250-450 ps for the block-sparse IVF scan
-            # (gathers + per-pair merge bookkeeping), measured on v5e at the
-            # 100k and 1M bench shapes. Route to the exhaustive sweep when
-            # its slot count is within ~128x of what probing would touch —
-            # it's then at least as fast AND recall rises to the ADC
-            # ceiling (n_probe stays an accuracy floor, as the reference
-            # documents it; serving the request with a better plan is fair).
-            # The 128x crossover is the approx-epilogue cost model; it
-            # applies at k <= 32 (and at high d, where the IVF scan's
-            # [blocks, p_tile, d] query-tile gather dominates — measured
-            # d=960, k=100: IVF 342 q/s vs flat 39.9k at better recall).
-            # k > 32 takes flat_adc_auto's EXACT multi-chunk epilogue
-            # (a per-chunk full sort), costlier per slot — but the probed
-            # scan's k>32 bookkeeping (k_pair=64 unsort payload + exact
-            # final merge) is costlier still: measured on the 1M class
-            # sweep at k=100, flat 201k q/s @ recall 0.921 beats EVERY
-            # probed point (np=1: 83k @ 0.145, np=8: 103k @ 0.507) — so
-            # the k>32 crossover multiplier is 512, covering np=1 at 1M
-            # with margin while still letting genuinely huge indexes probe.
-            s_pow2 = util.next_pow2(self.max_cell_capacity)
-            touched = n_probe * s_pow2
-            n_live = max(int(self.n_items), 1)
-            if int(k) <= 32 or self.d_vector >= 512:
-                if self._use_approx_topk and touched * 128 >= n_live:
-                    mode = "flat"
-            elif touched * 512 >= n_live:
-                mode = "flat"
+        mode = self.plan_scan_mode(nq, int(k))
         if self._code_domain:
             # code domain serves two plans: the one-hot cell-major scan and
-            # the (explicitly requested) one-hot flat sweep. The decoded
-            # planner's flat crossover does not apply — the one-hot sweep's
-            # per-slot cost is ~m*256/d x the dense sweep's.
+            # the one-hot decode-on-the-fly flat sweep (auto-planned above
+            # with the code-domain cost model, or explicitly requested).
             if mode == "flat":
                 codes_c, nrm_c, emp_c, amap_c = self._flat_compacted_codes()
                 vals, ids, addr = _search_flat_codes(

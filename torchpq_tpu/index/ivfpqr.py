@@ -1,20 +1,35 @@
-"""IVFPQ + re-ranking index — implemented *correctly*.
+"""IVFPQ + re-ranking index — implemented *correctly*, and TPU-first.
 
 Reference counterpart: torchpq/index/IVFPQRIndex.py, which is declared intent
 only (its train fits the base codec twice, add raises NameError and search
 raises NotImplementedError — SURVEY.md §2.7). The intended design — a second
-PQ codec over the first codec's residual, used to re-rank a widened candidate
-list — is implemented here:
+PQ codec over the first codec's residual, used to refine the base scan —
+is implemented here with a TPU-shaped twist:
 
 * rerank codes live in an aux row store next to the base codes (the reference
   planned code_size = m + m_rerank in one buffer, IVFPQRIndex.py:28-39);
-* the base scan uses the index's normal scan machinery (any cache dtype —
-  bf16/f32/int8/'none');
-* re-ranking gathers the top k * rerank_multiplier candidates' base + rerank
-  CODES and decodes them on the fly (one small one-hot decode per query
-  batch), then rescores with a batched matvec. No second [cap, d] cache is
-  kept — storage overhead over plain IVFPQ is exactly the m_rerank bytes of
-  rerank codes per slot, the reference's intended contract.
+
+* **decoded-cache configs (bf16/f32/int8) fold the refinement into the
+  cache**: the scan cache rows are the FULL two-stage reconstruction
+  (base + rerank decode), so `search` is the plain one-stage IVFPQ scan at
+  the requested k — every probed slot is ranked by the refined score, which
+  strictly dominates the classic "widen by rerank_multiplier, then rescore
+  the shortlist" structure in both recall (no shortlist truncation) and
+  speed (no second stage at all). The two-stage shape exists upstream only
+  because a GPU scan must stay in code domain (m B/slot); once a decoded
+  cache is paid for, refining it is free. Measured on the 1M class shape:
+  the round-2 shortlist rescore ran at 34.1k q/s (k=10) / 3.9k (k=100)
+  (benchmark/results/ivf4096_pq64r32_sift1m_pqr.json) with the rescore's
+  candidate one-hot decode dominating (scripts/profile_pqr.py: 173+84 ms
+  of 263 ms at k'=40); the folded cache serves at full base-scan speed
+  (~420k/200k q/s flat).
+
+* **the code-domain config (scan_cache_dtype='none') keeps the reference's
+  memory contract** (m + m_rerank B/slot) and the true two-stage search:
+  base one-hot scan widened to k * rerank_multiplier, then a rescore that
+  never re-decodes the base — the base scan's own scores are corrected by
+  2 q.r - (|y|^2 - |b|^2) with the norm delta stored per slot (4 B), so
+  the shortlist stage decodes only the m_rerank rerank codes.
 """
 
 import functools
@@ -30,13 +45,44 @@ from .ivfpq import IVFPQIndex
 
 
 @functools.partial(
+    jax.jit, static_argnames=("k", "distance", "mr", "dsubr"))
+def _rerank_correct(q, vals_b, cand_addr, rerank_codes, dnorm2, rr_codebook,
+                    is_empty, *, k, distance, mr, dsubr):
+    """Correct base-scan scores to full two-stage scores on the shortlist.
+
+    vals_b are the base scan's scores for cand_addr (euclidean:
+    2 q.b - |b|^2 - |q|^2; inner/cosine: q.b). The full score differs by
+    2 q.r - (|y|^2 - |b|^2) (euclidean) or q.r (inner/cosine) with
+    y = b + r — so only the rerank codes are decoded, never the base."""
+    valid = (cand_addr >= 0) & jnp.isfinite(vals_b)
+    safe = jnp.where(valid, cand_addr, 0)                 # [nq, k']
+    nq, kp = cand_addr.shape
+    flat = safe.reshape(-1)
+    valid = valid & ~is_empty[safe]
+    rdec = _decode_nd(rerank_codes[flat], rr_codebook, m=mr, dsub=dsubr,
+                      fast=True).reshape(nq, kp, -1)
+    ip = jnp.einsum("qd,qkd->qk", q, rdec,
+                    preferred_element_type=jnp.float32)
+    if distance == "euclidean":
+        sims = vals_b + 2.0 * ip - dnorm2[flat].reshape(nq, kp)
+    else:  # inner / cosine — pure dot refinement, no norm terms
+        sims = vals_b + ip
+    sims = jnp.where(valid, sims, -jnp.inf)
+    vals, idx = jax.lax.top_k(sims, min(k, kp))
+    addr = jnp.take_along_axis(cand_addr, idx, axis=1)
+    addr = jnp.where(jnp.isfinite(vals), addr, -1)
+    return vals, addr
+
+
+@functools.partial(
     jax.jit, static_argnames=("k", "distance", "residual", "m", "dsub",
                               "mr", "dsubr"))
 def _rerank_from_codes(q, cand_addr, storage, rerank_codes, cell_start,
                        pq_codebook, rr_codebook, vq_rows, is_empty, *, k,
                        distance, residual, m, dsub, mr, dsubr):
-    """Re-score candidates against their full two-stage reconstruction,
-    decoded on the fly from base + rerank codes (no decoded_full cache)."""
+    """Full-decode shortlist rescore (manhattan only — L1 does not decompose
+    into a per-slot correction): decode base + rerank codes on the fly and
+    rescore with _block_scores."""
     valid = cand_addr >= 0
     safe = jnp.where(valid, cand_addr, 0)           # [nq, k']
     nq, kp = cand_addr.shape
@@ -70,10 +116,52 @@ class IVFPQRIndex(IVFPQIndex):
         self.n_subvectors_rerank = n_subvectors_rerank
         self.rerank_multiplier = int(rerank_multiplier)
         self.add_aux_store("rerank_codes", n_subvectors_rerank, "uint8")
+        if self._code_domain:
+            # |y|^2 - |b|^2 per slot: the euclidean rescore's norm
+            # correction (aux "norm" stays the BASE norm — the one-hot
+            # base scan's penalty stream reads it)
+            self.add_aux_store("dnorm2", 1, "float32")
+            self.set_aux_rebuilder(("norm", "dnorm2"),
+                                   self._rebuild_scan_cache)
         self.register_module("rerank_codec", PQCodec(
             d_vector=d_vector, n_subvectors=n_subvectors_rerank,
             n_clusters=256, distance=self.distance,
             verbose=kwargs.get("verbose", 0)))
+
+    def _rerank_cache_parts(self):
+        """Fold the rerank decode into the decoded scan cache (the whole
+        point of this index's cached configs — see module docstring)."""
+        if self._code_domain or not self.rerank_codec.is_trained:
+            return None, None
+        return self.aux("rerank_codes"), self.rerank_codec.codebook_internal
+
+    def _rebuild_scan_cache(self):
+        if not self._code_domain:
+            # parent rebuild; _rerank_cache_parts folds the rerank decode in
+            return super()._rebuild_scan_cache()
+        # code domain: recompute the base norms and the |y|^2 - |b|^2 delta
+        cap = self._capacity
+        chunk = min(cap, util.next_pow2(
+            max(16384, (1 << 27) // max(self.d_vector, 1))))
+        rr = self.rerank_codec
+        nrm = jnp.zeros((cap, 1), jnp.float32)
+        dn = jnp.zeros((cap, 1), jnp.float32)
+        from .ivfpq import _cache_chunk, _write_rows
+        for i in range(util.cdiv(cap, chunk)):
+            c0 = min(i * chunk, cap - chunk)
+            _, nb, _ = _cache_chunk(
+                self._storage, self._cell_start, self._scan_codebook,
+                None, c0, chunk=chunk, int8=False, out_dtype=jnp.bfloat16,
+                residual=self.pq_use_residual)
+            _, nb2, _ = _cache_chunk(
+                self._storage, self._cell_start, self._scan_codebook,
+                None, c0, chunk=chunk, int8=False, out_dtype=jnp.bfloat16,
+                residual=self.pq_use_residual,
+                rerank_storage=self.aux("rerank_codes"),
+                rr_codebook=rr.codebook_internal)
+            nrm = _write_rows(nrm, nb, c0)
+            dn = _write_rows(dn, nb2 - nb, c0)
+        return {"norm": nrm, "dnorm2": dn}
 
     @property
     def is_trained(self):
@@ -109,44 +197,62 @@ class IVFPQRIndex(IVFPQIndex):
             decoded = self.pq_codec.decode_nd(codes_nm)
         resid2 = x_nd - decoded
         rcodes_nm = self.rerank_codec.encode_nd(resid2)
-        norms = jnp.sum(jnp.square(decoded), axis=-1, keepdims=True)
-        aux_rows = {"norm": norms, "rerank_codes": rcodes_nm}
+        full = decoded + self.rerank_codec.decode_nd(rcodes_nm)
+        aux_rows = {"rerank_codes": rcodes_nm}
         if self._code_domain:
-            pass
-        elif self._int8_cache:
-            qd, scale = util.int8_quantize_rows(decoded)
-            aux_rows["decoded"] = qd
-            aux_rows["scale"] = scale[:, None]
+            # base norms drive the one-hot scan; dnorm2 the rescore
+            nb = jnp.sum(jnp.square(decoded), axis=-1, keepdims=True)
+            aux_rows["norm"] = nb
+            aux_rows["dnorm2"] = (
+                jnp.sum(jnp.square(full), axis=-1, keepdims=True) - nb)
         else:
-            aux_rows["decoded"] = decoded
+            # the decoded cache holds the FULL two-stage reconstruction
+            aux_rows["norm"] = jnp.sum(jnp.square(full), axis=-1,
+                                       keepdims=True)
+            if self._int8_cache:
+                qd, scale = util.int8_quantize_rows(full)
+                aux_rows["decoded"] = qd
+                aux_rows["scale"] = scale[:, None]
+            else:
+                aux_rows["decoded"] = full
         from ..container.cell import CellContainer
         return CellContainer.add(
             self, self._pack_codes(codes_nm).T, cells, ids=ids,
             return_address=return_address, aux_rows=aux_rows)
 
     def search(self, x, k=1, return_address=False):
-        """Two-stage search: base IVFPQ scan widened by rerank_multiplier,
-        then exact re-rank against the on-the-fly two-stage decode."""
+        """Cached configs: one-stage scan against the refined cache (see
+        module docstring). Code domain: base one-hot scan widened by
+        rerank_multiplier, then the score-correction rescore."""
+        if not self._code_domain:
+            return super().search(x, k=k, return_address=return_address)
         x = jnp.asarray(x).astype(jnp.float32)
         assert x.shape[0] == self.d_vector
         if self.distance == "cosine":
             x = util.normalize(x, axis=0)
         k_base = int(k) * self.rerank_multiplier
-        _, _, cand_addr = super().search(x, k=k_base, return_address=True)
+        vals_b, _, cand_addr = super().search(x, k=k_base,
+                                              return_address=True)
         q = x.T
         rr = self.rerank_codec
-        # decode stored bytes against the storage-matching codebook — at
-        # n_bits=4 that is the byte-pair view over packed nibbles
-        scb = self._scan_codebook
-        ms, _, dsubs = scb.shape
-        vals, addr = _rerank_from_codes(
-            q, cand_addr, self._storage, self.aux("rerank_codes"),
-            self._cell_start, scb, rr.codebook_internal,
-            (self.vq_codec.kmeans._centroids[0] if self.pq_use_residual
-             else None), self._is_empty,
-            k=int(k), distance=self.distance, residual=self.pq_use_residual,
-            m=int(ms), dsub=int(dsubs),
-            mr=rr.n_subvectors, dsubr=rr.d_subvector)
+        if self.distance == "manhattan":
+            scb = self._scan_codebook
+            ms, _, dsubs = scb.shape
+            vals, addr = _rerank_from_codes(
+                q, cand_addr, self._storage, self.aux("rerank_codes"),
+                self._cell_start, scb, rr.codebook_internal,
+                (self.vq_codec.kmeans._centroids[0] if self.pq_use_residual
+                 else None), self._is_empty,
+                k=int(k), distance=self.distance,
+                residual=self.pq_use_residual,
+                m=int(ms), dsub=int(dsubs),
+                mr=rr.n_subvectors, dsubr=rr.d_subvector)
+        else:
+            vals, addr = _rerank_correct(
+                q, vals_b, cand_addr, self.aux("rerank_codes"),
+                self.aux("dnorm2")[:, 0], rr.codebook_internal,
+                self._is_empty, k=int(k), distance=self.distance,
+                mr=rr.n_subvectors, dsubr=rr.d_subvector)
         ids = self.get_id_by_address(addr)
         ids = jnp.where(addr >= 0, ids, -1)
         if vals.shape[-1] < k:
