@@ -336,6 +336,36 @@ class ShardedIVFPQSearcher:
         self.s_max = int(new_caps.max())
         self._flat_sh = None
 
+    def _route_slots(self, cells):
+        """(shard, slot) per item from its coarse cell — vectorized
+        run-length arithmetic (the same sort + run-start trick as
+        ops/spill.rank_in_group), O(arrays): never a Python iteration per
+        distinct cell (at 256k cells a run-bounds loop costs minutes).
+        Mutates the per-shard occupancy shadows; grows overflowing local
+        cells first (one re-layout for all)."""
+        n = cells.shape[0]
+        shard_of = cells % self.n_shards
+        order = np.argsort(cells, kind="stable")
+        sorted_cells = cells[order]
+        runs = np.flatnonzero(np.r_[True, sorted_cells[1:]
+                                    != sorted_cells[:-1]])
+        run_len = np.diff(np.r_[runs, n])
+        run_cells = sorted_cells[runs]
+        s_arr = run_cells % self.n_shards
+        lc_arr = run_cells // self.n_shards
+        req = self._next_free[s_arr, lc_arr] + run_len
+        over = req > self._lcap_np[s_arr, lc_arr]
+        if over.any():
+            self._grow_local({(int(s), int(lc)): int(r) for s, lc, r in
+                              zip(s_arr[over], lc_arr[over], req[over])})
+        rank = np.arange(n) - np.repeat(runs, run_len)
+        base = self._lstart_np[s_arr, lc_arr] + self._next_free[s_arr, lc_arr]
+        slots = np.empty(n, np.int64)
+        slots[order] = np.repeat(base, run_len) + rank
+        # distinct (s, lc) per run makes the fancy-index add exact
+        self._next_free[s_arr, lc_arr] += run_len
+        return shard_of, slots
+
     def add(self, x, ids=None):
         """Route new vectors to their owning shards and append them.
 
@@ -379,32 +409,7 @@ class ShardedIVFPQSearcher:
             ids = np.asarray(ids, dtype=np.int64)
         self._max_id = max(self._max_id, int(ids.max()) + 1)
 
-        # host routing: slot per item within its (shard, local cell)
-        shard_of = cells % d_count
-        order = np.argsort(cells, kind="stable")
-        sorted_cells = cells[order]
-        runs = np.flatnonzero(np.r_[True, sorted_cells[1:]
-                                    != sorted_cells[:-1]])
-        run_bounds = list(zip(runs, np.r_[runs[1:], n]))
-        # grow overflowing local cells first (one re-layout for all)
-        need = {}
-        for r0, r1 in run_bounds:
-            c = sorted_cells[r0]
-            s, lc = int(c % d_count), int(c // d_count)
-            req = self._next_free[s, lc] + (r1 - r0)
-            if req > self._lcap_np[s, lc]:
-                need[(s, lc)] = int(req)
-        if need:
-            self._grow_local(need)
-        slots = np.empty(n, np.int64)
-        for r0, r1 in run_bounds:
-            c = sorted_cells[r0]
-            s, lc = int(c % d_count), int(c // d_count)
-            cnt = r1 - r0
-            nf = self._next_free[s, lc]
-            slots[order[r0:r1]] = (self._lstart_np[s, lc]
-                                   + nf + np.arange(cnt))
-            self._next_free[s, lc] += cnt
+        shard_of, slots = self._route_slots(cells)
 
         (self.decoded, self.norms, self.is_empty, self.ids,
          self.scales) = _sharded_add(
