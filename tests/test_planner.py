@@ -1,0 +1,133 @@
+"""Pin the auto query planner's crossovers (IVFPQIndex.plan_scan_mode).
+
+Every headline benchmark number depends on which physical plan actually ran
+(probed cell-major scan vs dense flat sweep) — a silent change to the
+128x/512x crossovers would re-label flat QPS as probed QPS. The planner
+reads only host-side shadows (n_items, cell capacities), so these tests
+fake the 1M bench scale on a tiny untrained index.
+
+Reference counterpart: torchpq's n_probe semantics (IVFPQIndex.py) — an
+accuracy knob; the planner may substitute a plan that is at least as fast
+AND at least as accurate, never worse.
+"""
+
+import numpy as np
+import pytest
+
+from torchpq_tpu.index import IVFPQIndex
+
+
+def _fake_scale(index, *, n_items, s_max, n_cells=None):
+    """Simulate a large index's host shadows (the planner's only inputs)."""
+    index._n_items = n_items
+    n = n_cells if n_cells is not None else index.n_cells
+    index._cell_capacity_np = np.full(n, s_max, np.int64)
+    return index
+
+
+def _make(d=32, **kw):
+    kw.setdefault("n_subvectors", 8)
+    kw.setdefault("n_cells", 64)
+    kw.setdefault("initial_size", 16)
+    return IVFPQIndex(d_vector=d, **kw)
+
+
+BIG_NQ = 10_000  # >= batch_threshold, the bench regime
+
+
+def test_pinned_mode_passes_through():
+    index = _fake_scale(_make(), n_items=1_000_000, s_max=1024)
+    index.use_approx_topk = True
+    for mode in ("flat", "cell_major", "query_major"):
+        index.scan_mode = mode
+        assert index.plan_scan_mode(BIG_NQ, 10) == mode
+
+
+def test_small_batch_routes_query_major():
+    index = _fake_scale(_make(), n_items=500_000_000, s_max=1024)
+    index.scan_mode = "auto"
+    index.n_probe = 8
+    index.use_approx_topk = True
+    nq = index._ivfpq_topk.batch_threshold - 1
+    assert index.plan_scan_mode(nq, 10) == "query_major"
+    assert index.plan_scan_mode(nq + 1, 10) == "cell_major"
+
+
+def test_flat_crossover_k_le_32_is_128x():
+    """k<=32 + approx epilogue: flat once touched slots * 128 >= live.
+    At the 1M bench shape (IVF4096, s_max=1024) np=32 touches 32768 slots
+    -> 128x covers 4.19M, so 1M routes flat; np=1 (131k coverage) probes."""
+    index = _fake_scale(_make(), n_items=1_000_000, s_max=1024)
+    index.scan_mode = "auto"
+    index.use_approx_topk = True
+    index.n_probe = 32
+    assert index.plan_scan_mode(BIG_NQ, 10) == "flat"
+    index.n_probe = 1
+    assert index.plan_scan_mode(BIG_NQ, 10) == "cell_major"
+    # exactly at the boundary: touched * 128 == n_live -> flat
+    _fake_scale(index, n_items=1024 * 128, s_max=1024)
+    assert index.plan_scan_mode(BIG_NQ, 10) == "flat"
+    _fake_scale(index, n_items=1024 * 128 + 1, s_max=1024)
+    assert index.plan_scan_mode(BIG_NQ, 10) == "cell_major"
+
+
+def test_flat_crossover_k_le_32_needs_approx():
+    """The 128x model prices the approx epilogue; exact top-k never
+    reroutes at k<=32."""
+    index = _fake_scale(_make(), n_items=1_000_000, s_max=1024)
+    index.scan_mode = "auto"
+    index.use_approx_topk = False
+    index.n_probe = 32
+    assert index.plan_scan_mode(BIG_NQ, 10) == "cell_major"
+
+
+def test_flat_crossover_k_gt_32_is_512x():
+    """k>32 takes the exact multi-chunk flat epilogue (512x crossover):
+    at 1M, np=1 (s_max=1024) covers 524k < 1M -> probes; np=2 -> flat."""
+    index = _fake_scale(_make(), n_items=1_000_000, s_max=1024)
+    index.scan_mode = "auto"
+    index.use_approx_topk = True
+    index.n_probe = 2
+    assert index.plan_scan_mode(BIG_NQ, 100) == "flat"
+    index.n_probe = 1
+    assert index.plan_scan_mode(BIG_NQ, 100) == "cell_major"
+
+
+def test_high_d_uses_128x_even_at_deep_k():
+    """d>=512: the IVF scan's query-tile gather dominates, so deep k still
+    takes the 128x crossover (measured d=960 k=100: IVF 342 q/s vs flat
+    39.9k at better recall)."""
+    index = _fake_scale(_make(d=512), n_items=1_000_000, s_max=1024)
+    index.scan_mode = "auto"
+    index.use_approx_topk = True
+    index.n_probe = 32
+    assert index.plan_scan_mode(BIG_NQ, 100) == "flat"
+
+
+def test_code_domain_crossover_is_512x():
+    """scan_cache_dtype='none': the probed one-hot scan vs the
+    decode-on-the-fly flat sweep — probing only pays past ~512x pruning."""
+    index = _fake_scale(_make(scan_cache_dtype="none"),
+                        n_items=1_000_000, s_max=1024)
+    index.scan_mode = "auto"
+    index.use_approx_topk = True
+    index.n_probe = 2
+    assert index.plan_scan_mode(BIG_NQ, 10) == "flat"
+    index.n_probe = 1
+    assert index.plan_scan_mode(BIG_NQ, 10) == "cell_major"
+    # huge-index regime (the 100M demo): probing pays
+    _fake_scale(index, n_items=100_000_000, s_max=2048)
+    index.n_probe = 32
+    assert index.plan_scan_mode(BIG_NQ, 10) == "cell_major"
+
+
+def test_1m_bench_shape_probed_rows_need_pinning():
+    """The recorded probed curve exists only because sweep.py pins
+    scan_mode='cell_major'; auto reroutes every np at the 1M bench shape.
+    This pins the fact the bench's honesty depends on."""
+    index = _fake_scale(_make(), n_items=1_000_000, s_max=1024)
+    index.scan_mode = "auto"
+    index.use_approx_topk = True
+    for np_ in (8, 32, 64):
+        index.n_probe = np_
+        assert index.plan_scan_mode(BIG_NQ, 10) == "flat"
