@@ -60,8 +60,9 @@ def merge_program(mesh, axis, nq, k):
     from jax import shard_map
 
     def local(v, i):
-        gv = jax.lax.all_gather(v[0], axis)
-        gi = jax.lax.all_gather(i[0], axis)
+        # v, i: the local [nq, k] partials of this shard
+        gv = jax.lax.all_gather(v, axis)
+        gi = jax.lax.all_gather(i, axis)
         gv = jnp.moveaxis(gv, 0, 1).reshape(nq, -1)
         gi = jnp.moveaxis(gi, 0, 1).reshape(nq, -1)
         fv, fi = jax.lax.top_k(gv, k)

@@ -194,7 +194,7 @@ def main():
         "index": args.index, "n_bits": args.n_bits,
         "cache": args.cache, "spill": not args.no_spill,
         "scan_group": args.scan_group, "initial_mult": args.initial_mult,
-        "s_max": int(index.max_cell_capacity),
+        "scan_impl": index.scan_impl, "s_max": int(index.max_cell_capacity),
         "train_s": round(train_s, 2), "add_s": round(add_s, 2),
         "device": str(jax.devices()[0]), "entries": entries,
     }

@@ -109,6 +109,13 @@ def main():
           f"(peak {ms.get('peak_bytes_in_use', 0) / 1e9:.2f} GB)",
           flush=True)
 
+    results = {"n": args.n, "d": d, "m": m, "n_cells": args.n_cells,
+               "mode": "code_domain", "nq": args.nq, "k": args.k,
+               "device": jax.local_devices()[0].device_kind,
+               "hbm_gb": round(ms.get("bytes_in_use", 0) / 1e9, 2),
+               "hbm_peak_gb": round(ms.get("peak_bytes_in_use", 0) / 1e9, 2),
+               "train_s": round(train_s, 1), "ingest_s": round(add_s, 1),
+               "entries": []}
     qj = queries.T
     for n_probe in (1, 8, 32):
         index.n_probe = n_probe
@@ -129,6 +136,13 @@ def main():
                "hbm_gb": round(ms.get("bytes_in_use", 0) / 1e9, 2),
                "train_s": round(train_s, 1), "ingest_s": round(add_s, 1)}
         print(json.dumps(out), flush=True)
+        results["entries"].append(out)
+
+    path = os.path.join(os.path.dirname(__file__), "..", "benchmark",
+                        "results", "demo_100m.json")
+    with open(path, "w") as f:
+        json.dump(results, f, indent=1)
+    print("wrote", path, flush=True)
 
 
 if __name__ == "__main__":
