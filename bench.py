@@ -232,9 +232,12 @@ def main():
     ap.add_argument("--repeats", type=int, default=5)
     ap.add_argument("--state", default=None,
                     help="snapshot path: load the built index from here if "
-                         "present, else build and save (iteration aid — the "
-                         "axon AOT path bypasses jax's persistent compile "
-                         "cache, so train+add cost ~9 min per fresh run)")
+                         "present, else build and save (iteration aid — "
+                         "jax's persistent compile cache DOES hit across "
+                         "processes here, so repeat runs on one machine "
+                         "train in ~2 min; a FRESH machine pays the full "
+                         "~8 min compile once, and the snapshot skips even "
+                         "that)")
     ap.add_argument("--skip-build-metrics", action="store_true",
                     help="with --state: skip the cold/warm build timing")
     ap.add_argument("--cpu", action="store_true",
@@ -386,9 +389,15 @@ def main():
         print(f"[bench] null dispatch+sync round-trip: "
               f"{null_rtt * 1e3:.3f} ms", file=sys.stderr)
         # small-batch latency: auto mode plans the query_major scan below
-        # the batch threshold; fresh query slices defeat any caching
+        # the batch threshold; fresh query slices defeat any caching.
+        # Each batch size is also A/B'd with the plan PINNED query_major
+        # vs cell_major — the recorded proof the two-strategy design pays
+        # (query_major skips the pair pack/unsort that amortizes only
+        # across large batches).
         index.n_probe = args.n_probe
-        for b in (1, 16, 256):
+
+        def _lat(b, mode):
+            index.scan_mode = mode
             n_iters = 30 if b <= 16 else 10
             offs = [(i * b) % max(n_query - b, 1) for i in range(n_iters)]
             # pre-materialized device batches: the timed loop must not pay
@@ -401,10 +410,19 @@ def main():
             for qb in batches:
                 v, _ = index.search(qb, k=args.k)
                 jax.block_until_ready(v)
-            dt = (time.perf_counter() - t0) / n_iters
+            return (time.perf_counter() - t0) / n_iters
+
+        for b in (1, 16, 256):
+            dt = _lat(b, "auto")
             latency_ms[b] = round(dt * 1e3, 3)
+            for mode in ("query_major", "cell_major"):
+                latency_ms[f"{b}_{mode}"] = round(_lat(b, mode) * 1e3, 3)
             print(f"[bench] latency batch={b}: {dt * 1e3:.3f} ms "
-                  f"({b / dt:,.0f} q/s)", file=sys.stderr)
+                  f"({b / dt:,.0f} q/s; qm "
+                  f"{latency_ms[f'{b}_query_major']:.3f} / cm "
+                  f"{latency_ms[f'{b}_cell_major']:.3f} ms)",
+                  file=sys.stderr)
+        index.scan_mode = "auto"
 
     # warm (steady-state) build times: all programs compiled, measuring pure
     # execution — what a production ingest pipeline pays per batch
