@@ -286,3 +286,36 @@ def test_smart_probing_mask_matches_reference_math(rng):
     np.testing.assert_array_equal(np.asarray(mask), want)
     # budgets must actually vary with query sharpness on random data
     assert budget.min() >= 1 and budget.max() <= n_probe
+
+
+def test_deep_k_exact_merge_matches_bruteforce(rng):
+    """k > 32 takes the bitonic run-merge final stage (ops/bitonic.py) in
+    both the exact and pack32 scan paths; at full probe it must match
+    brute-force ADC exactly (the merge replaces lax.top_k, not the
+    ranking)."""
+    index, x, ids = _make_index(rng, n_cells=8, n=900)
+    nq, k = 7, 100
+    q = rng.normal(size=(nq, index.d_vector)).astype(np.float32)
+    index.n_probe = index.n_cells
+    index.use_smart_probing = False
+    index.scan_mode = "cell_major"
+
+    decoded = np.asarray(index.aux("decoded")).astype(np.float32)
+    a2i = np.asarray(index._address2id)
+    live = a2i >= 0
+    s = -((q[:, None] - decoded[None]) ** 2).sum(-1)
+    s[:, ~live] = -np.inf
+    order = np.argsort(-s, axis=1)[:, :k]
+    want_ids = a2i[order]
+
+    index.use_approx_topk = False
+    _, got_exact = index.search(jnp.asarray(q.T), k=k)
+    agree = (np.asarray(got_exact) == want_ids).mean()
+    assert agree > 0.99, f"exact deep-k agreement {agree}"
+
+    index.use_approx_topk = True  # pack32 wire format + bitonic merge
+    _, got_pack = index.search(jnp.asarray(q.T), k=k)
+    overlap = np.mean([
+        len(np.intersect1d(a, b)) / k
+        for a, b in zip(np.asarray(got_pack), want_ids)])
+    assert overlap > 0.95, f"pack32 deep-k overlap {overlap}"

@@ -48,6 +48,7 @@ import jax.numpy as jnp
 from .. import config
 from .. import util
 from ..metric import canonical_distance
+from . import bitonic
 
 
 # ---------------------------------------------------------------------------
@@ -408,15 +409,31 @@ def _merge_pairs(combo, query, pair_block, pair_slot, start_c_all, *,
         # sweep). Exact top_k for k > 32 restores monotone deep-k recall;
         # k <= 32 keeps approx (k_pair == k runs are short, loss unmeasurable
         # — cell-major n_probe=128 @k=10 beats even the flat sweep's recall).
-        sel = _sortable_i32_f32(keys)
         if kk < keys.shape[-1] and kk <= 32:
+            sel = _sortable_i32_f32(keys)
             fvs, fi = jax.lax.approx_max_k(sel, kk)
+            packed_w = jnp.take_along_axis(keys, fi, axis=1)
+            start_w = jnp.take_along_axis(starts_q, fi // k_pair, axis=1)
+            alive = fvs > -big / 2
         else:
-            fvs, fi = jax.lax.top_k(sel, kk)
-        packed_w = jnp.take_along_axis(keys, fi, axis=1)
+            # deep k: the per-pair lists are descending runs (top_k /
+            # aggregated approx_max_k emit winners best-first), so merge
+            # them with a truncated bitonic tree instead of lax.top_k's
+            # full O(w log^2 w) sort over the concatenation — the TPU
+            # counterpart of the reference's in-register streaming merge
+            # (ivfpq_topk.cu:763-931). Packed keys can hold local
+            # inversions where masked values tie (order falls to the slot
+            # bits), but an int32 comparator refines the masked-key order,
+            # so the merged top-kk is exact in masked-key space — the same
+            # space lax.top_k over the decoded keys ranked in.
+            packed_w, pidx = bitonic.merge_runs_topk(
+                keys.reshape(nq, n_probe, k_pair),
+                jnp.broadcast_to(
+                    jnp.arange(n_probe, dtype=jnp.int32)[None, :, None],
+                    (nq, n_probe, k_pair)), kk)
+            start_w = jnp.take_along_axis(starts_q, pidx, axis=1)
+            alive = _sortable_i32_f32(packed_w) > -big / 2
         slot = packed_w & jnp.int32(slot_mask)
-        start_w = jnp.take_along_axis(starts_q, fi // k_pair, axis=1)
-        alive = fvs > -big / 2
         fv = _sortable_i32_f32(packed_w & jnp.int32(~slot_mask))
         fa = jnp.where(alive, start_w + slot, -1)
         fv = jnp.where(alive, fv, -jnp.inf)
@@ -430,10 +447,17 @@ def _merge_pairs(combo, query, pair_block, pair_slot, start_c_all, *,
 
         # ---- final exact merge per query ----
         out = out.reshape(nq, n_probe, 2 * k_pair)
-        keys = out[:, :, :k_pair].reshape(nq, n_probe * k_pair)
-        addrs = out[:, :, k_pair:].reshape(nq, n_probe * k_pair)
-        fk, fi = jax.lax.top_k(keys, kk)
-        fa = jnp.take_along_axis(addrs, fi, axis=1)
+        if kk > 32:
+            # bitonic run-merge (see pack32 branch): here the keys are
+            # bit-exact sortable values and the runs truly descending,
+            # so the merge is exact.
+            fk, fa = bitonic.merge_runs_topk(
+                out[:, :, :k_pair], out[:, :, k_pair:], kk)
+        else:
+            keys = out[:, :, :k_pair].reshape(nq, n_probe * k_pair)
+            addrs = out[:, :, k_pair:].reshape(nq, n_probe * k_pair)
+            fk, fi = jax.lax.top_k(keys, kk)
+            fa = jnp.take_along_axis(addrs, fi, axis=1)
         fv = _sortable_i32_f32(fk)
         fa = jnp.where(jnp.isfinite(fv), fa, -1)
         fv = jnp.where(jnp.isfinite(fv), fv, -jnp.inf)
