@@ -50,12 +50,17 @@ def main():
     args = ap.parse_args()
     d, m = 128, 64
 
+    # Tiny initial store + exact pre-sizing: at 100M x 64 B a relayout
+    # (old + new storage live simultaneously) cannot fit HBM — the first
+    # attempt died at 61M when ONE cell overflowed and the doubling gather
+    # asked for 2 x 8.6 GB. So cells are presized from a counting pre-pass
+    # that REPLAYS the exact spill routing of the ingest pass (both are
+    # deterministic functions of the chunk stream + occupancy history),
+    # and expand() runs ONCE while the store is 33 MB.
+    spill_cap = 8192
     index = IVFPQIndex(d_vector=d, n_subvectors=m, n_cells=args.n_cells,
-                       initial_size=args.n // args.n_cells
-                       if args.n < 30_000_000 else 4096,
-                       scan_cache_dtype="none")
+                       initial_size=16, scan_cache_dtype="none")
     index.use_approx_topk = True
-    index.spill_cells = 8
     index.vq_codec.kmeans.max_iter = 10
     index.pq_codec.kmeans.max_iter = 15
 
@@ -64,9 +69,43 @@ def main():
     index.train(train.T)
     del train
     train_s = time.perf_counter() - t0
-    index.spill_capacity = index.max_cell_capacity
     print(f"[100m] train {train_s:.0f}s (n={args.train_n}, "
           f"cells={args.n_cells})", flush=True)
+
+    # ---- counting pre-pass: replay the ingest routing ----
+    # MUST produce the exact per-cell counts the ingest pass will: a single
+    # boundary item flipping cells between passes would overflow a full
+    # cell and trigger the un-fittable relayout this exists to avoid. Both
+    # passes call the same jitted topk_sim + spill_assign_device on the
+    # same chunks with the same occupancy history, so the routing replays
+    # bit-for-bit; spill bounds every cell at spill_cap, which also bounds
+    # the search windows (s_max == max cell capacity).
+    from torchpq_tpu.ops.max_sim import topk_sim
+    from torchpq_tpu.ops.spill import spill_assign_device
+    gen = jax.jit(lambda kid: chunk_data(jax.random.PRNGKey(kid), args.chunk, d))
+    cents = index.vq_codec.kmeans._centroids[0]
+
+    t0 = time.perf_counter()
+    sizes = jnp.zeros((args.n_cells,), jnp.int32)
+    assert args.n % args.chunk == 0
+    for c0 in range(0, args.n, args.chunk):
+        x = gen(c0 // args.chunk)
+        _, top = topk_sim(x, cents, 8, "euclidean", approx=True)
+        _, cnts = spill_assign_device(top.astype(jnp.int32), sizes,
+                                      cap=spill_cap, n_cells=args.n_cells)
+        sizes = sizes + cnts
+    counts_np = np.asarray(sizes).astype(np.int64)
+    count_s = time.perf_counter() - t0
+    cap_np = np.maximum(np.exp2(np.ceil(np.log2(
+        np.maximum(counts_np, 16)))).astype(np.int64), 16)
+    print(f"[100m] count pass {count_s:.0f}s: max cell {counts_np.max():,}, "
+          f"presized capacity {cap_np.sum():,} slots "
+          f"({cap_np.sum() * m / 1e9:.2f} GB codes)", flush=True)
+    index.expand(required={int(c): int(counts_np[c])
+                           for c in np.nonzero(counts_np > 16)[0]})
+    index.spill_cells = 8
+    index.spill_capacity = spill_cap
+    train_s += count_s
 
     queries = chunk_data(jax.random.PRNGKey(99_999), args.nq, d)
     jax.block_until_ready(queries)
@@ -79,19 +118,19 @@ def main():
         v = jnp.concatenate([best_v, s], axis=1)
         i = jnp.concatenate(
             [best_i, jnp.broadcast_to(
-                base0 + jnp.arange(x.shape[0], dtype=jnp.int64)[None, :],
+                base0 + jnp.arange(x.shape[0], dtype=jnp.int32)[None, :],
                 s.shape)], axis=1)
         vv, ii = jax.lax.top_k(v, best_v.shape[1])
         return vv, jnp.take_along_axis(i, ii, axis=1)
 
     best_v = jnp.full((args.nq, args.k), -jnp.inf, jnp.float32)
-    best_i = jnp.full((args.nq, args.k), -1, jnp.int64)
+    best_i = jnp.full((args.nq, args.k), -1, jnp.int32)
     t0 = time.perf_counter()
     added = 0
     for c0 in range(0, args.n, args.chunk):
         nchunk = min(args.chunk, args.n - c0)
         x = chunk_data(jax.random.PRNGKey(c0 // args.chunk), nchunk, d)
-        best_v, best_i = gt_step(queries, x, jnp.int64(c0), best_v, best_i)
+        best_v, best_i = gt_step(queries, x, jnp.int32(c0), best_v, best_i)
         index.add(x.T)
         added += nchunk
         if (c0 // args.chunk) % 10 == 0:
@@ -105,24 +144,37 @@ def main():
           f"{args.n / add_s:,.0f} vec/s; n_items={index.n_items:,} "
           f"capacity={index.capacity:,}", flush=True)
     ms = jax.local_devices()[0].memory_stats() or {}
-    print(f"[100m] HBM in use: {ms.get('bytes_in_use', 0) / 1e9:.2f} GB "
-          f"(peak {ms.get('peak_bytes_in_use', 0) / 1e9:.2f} GB)",
+    # the axon tunnel exposes no memory_stats; fall back to summing the
+    # index's live device state (storage + aux + maps) — the resident set
+    # the capacity claim is about
+    state_gb = sum(v.nbytes for v in index.state_dict().values()
+                   if hasattr(v, "nbytes")) / 1e9
+    hbm_gb = ms.get("bytes_in_use", 0) / 1e9 or round(state_gb, 2)
+    print(f"[100m] HBM in use: {hbm_gb:.2f} GB "
+          f"(index state {state_gb:.2f} GB, "
+          f"peak {ms.get('peak_bytes_in_use', 0) / 1e9:.2f} GB)",
           flush=True)
 
     results = {"n": args.n, "d": d, "m": m, "n_cells": args.n_cells,
                "mode": "code_domain", "nq": args.nq, "k": args.k,
                "device": jax.local_devices()[0].device_kind,
-               "hbm_gb": round(ms.get("bytes_in_use", 0) / 1e9, 2),
-               "hbm_peak_gb": round(ms.get("peak_bytes_in_use", 0) / 1e9, 2),
+               "hbm_gb": hbm_gb, "index_state_gb": round(state_gb, 2),
                "train_s": round(train_s, 1), "ingest_s": round(add_s, 1),
                "entries": []}
     qj = queries.T
-    for n_probe in (1, 8, 32):
-        index.n_probe = n_probe
+    # pin the scan per row (sweep.py-style honesty): probed points run the
+    # probed one-hot scan, the flat decode-on-the-fly sweep is its own row
+    for n_probe in (1, 8, 32, "flat"):
+        if n_probe == "flat":
+            index.scan_mode = "flat"
+            reps = 1  # whole-storage decode; one rep is plenty at 100M
+        else:
+            index.scan_mode = "cell_major"
+            index.n_probe = n_probe
+            reps = 3
         vals, pred = index.search(qj, k=args.k)
         jax.block_until_ready(vals)
         t0 = time.perf_counter()
-        reps = 3
         for _ in range(reps):
             vals, pred = index.search(qj, k=args.k)
         jax.block_until_ready(vals)
@@ -132,8 +184,7 @@ def main():
                              for i in range(args.nq)]))
         out = {"n": args.n, "n_probe": n_probe, "qps": round(args.nq / dt),
                "recall@10": round(rec, 4), "ms_per_batch": round(dt * 1e3, 1),
-               "nq": args.nq, "mode": "code_domain",
-               "hbm_gb": round(ms.get("bytes_in_use", 0) / 1e9, 2),
+               "nq": args.nq, "mode": "code_domain", "hbm_gb": hbm_gb,
                "train_s": round(train_s, 1), "ingest_s": round(add_s, 1)}
         print(json.dumps(out), flush=True)
         results["entries"].append(out)
