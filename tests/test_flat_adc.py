@@ -126,3 +126,27 @@ def test_flat_exact_mode_chunk_bound(rng):
         - (np.asarray(q) ** 2).sum(1)[:, None]
     want = np.argsort(-s, axis=1)[:, :k]
     np.testing.assert_array_equal(np.asarray(a), want)
+
+
+def test_flat_scan_exact_deep_k(rng):
+    """k > 32 multi-chunk exact epilogue takes the bitonic run-merge
+    (ops/bitonic.py); must still equal brute force exactly."""
+    n, d, k = 900, 16, 100
+    decoded = rng.normal(size=(n, d)).astype(np.float32)
+    q = rng.normal(size=(7, d)).astype(np.float32)
+    live = np.ones(n, bool)
+    live[rng.integers(0, n, 50)] = False
+    big = np.float32(np.finfo(np.float32).max / 4)
+    pen = np.where(~live, big, (decoded ** 2).sum(-1))
+
+    vals, addr = flat_adc_scan(
+        jnp.asarray(q), jnp.asarray(decoded), jnp.asarray(pen),
+        k=k, distance="euclidean", chunk=128, approx=False)
+    want_vals, want_addr = _brute(q, decoded, live, "euclidean", k)
+    np.testing.assert_allclose(np.asarray(vals), want_vals,
+                               rtol=1e-4, atol=1e-4)
+    got, want = np.asarray(addr), want_addr
+    # address agreement modulo exact score ties
+    agree = np.mean([len(np.intersect1d(a, b)) / k
+                     for a, b in zip(got, want)])
+    assert agree > 0.99, agree

@@ -108,11 +108,23 @@ def flat_adc_scan(query, decoded, penalty, *, k, distance, chunk=1048576,
 
     starts = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
     vals, idx = jax.lax.map(one, starts)  # [nch, nq, k_c]
-    vals = jnp.moveaxis(vals, 0, 1).reshape(nq, n_chunks * k_c)
-    idx = jnp.moveaxis(idx, 0, 1).reshape(nq, n_chunks * k_c)
-    kk = min(k, vals.shape[-1])
-    fv, fi = jax.lax.top_k(vals, kk)
-    fa = jnp.take_along_axis(idx, fi, axis=1)
+    vals = jnp.moveaxis(vals, 0, 1)  # [nq, nch, k_c]
+    idx = jnp.moveaxis(idx, 0, 1)
+    kk = min(k, n_chunks * k_c)
+    if kk > 32 and n_chunks > 1:
+        # per-chunk winners are descending runs (top_k / aggregated
+        # approx_max_k emit best-first): merge them with the truncated
+        # bitonic tree instead of a full sort over the concatenation
+        # (ops/bitonic.py — the deep-k final-merge economy)
+        from .adc import _f32_sortable_i32, _sortable_i32_f32
+        from . import bitonic
+        fk, fa = bitonic.merge_runs_topk(_f32_sortable_i32(vals), idx, kk)
+        fv = _sortable_i32_f32(fk)
+    else:
+        vals = vals.reshape(nq, n_chunks * k_c)
+        idx = idx.reshape(nq, n_chunks * k_c)
+        fv, fi = jax.lax.top_k(vals, kk)
+        fa = jnp.take_along_axis(idx, fi, axis=1)
     alive = fv > -big / 2
     fv = jnp.where(alive, fv, -jnp.inf)
     fa = jnp.where(alive, fa, -1)
