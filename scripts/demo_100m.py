@@ -26,6 +26,11 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+_cache_dir = os.path.expanduser("~/.cache/torchpq_tpu_jax")
+os.makedirs(_cache_dir, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 from torchpq_tpu.index import IVFPQIndex
 
 D_INT = 12

@@ -113,6 +113,25 @@ class TestCellContainer:
             np.asarray(c.get_data_by_id(ids)), d, rtol=1e-6)
         assert np.asarray(c._cell_size)[0] == 64
 
+    def test_presize_empty_then_add(self, rng):
+        """expand(required) on an EMPTY container takes the fresh-alloc
+        path (no gather relayout — at 100M a gather-fusion u8 output pads
+        to 128 lanes and doubles its bytes); adds must then land exactly
+        as in a container built large."""
+        c = CellContainer(code_size=4, n_cells=4, initial_size=16)
+        c.expand(required={0: 100, 2: 33})
+        assert int(c._cell_capacity_np[0]) >= 100
+        assert int(c._cell_capacity_np[2]) >= 33
+        assert c.n_items == 0
+        d = _data(rng, 4, 150)
+        cells = np.concatenate([np.zeros(100), np.full(17, 1),
+                                np.full(33, 2)]).astype(np.int64)
+        ids = c.add(jnp.asarray(d), cells)
+        np.testing.assert_allclose(
+            np.asarray(c.get_data_by_id(ids)), d, rtol=1e-6)
+        np.testing.assert_array_equal(
+            np.asarray(c._cell_size), [100, 17, 33, 0])
+
     def test_remove_and_slot_reuse(self, rng):
         c = CellContainer(code_size=4, n_cells=2, initial_size=8)
         d = _data(rng, 4, 8)
