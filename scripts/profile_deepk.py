@@ -94,14 +94,16 @@ def main():
                                        n_probe=n_probe, use_smart=True,
                                        precision=None, approx=True)
         jax.block_until_ready(cells)
-        # composed scan, both impls (the new bitonic merge is inside)
-        for impl in ("pallas", "xla"):
-            dt = timeit(lambda impl=impl: adc.scan_cell_major(
+        # composed scan: impl x supercell group (deep-k bookkeeping is
+        # per-pair, so bigger groups may win here even where k=10 prefers 4)
+        for impl, group in (("pallas", 1), ("pallas", 4), ("pallas", 8),
+                            ("xla", 4)):
+            dt = timeit(lambda impl=impl, group=group: adc.scan_cell_major(
                 q, cells, mask, decoded, norms, is_empty, cstart, ccap,
                 k=k, distance="euclidean", s_max=s_max, n_cells=n_cells,
-                approx=True, impl=impl))
-            print(f"np={n_probe} k={k} scan_cell_major[{impl}]: {dt:.1f} ms"
-                  f" -> {nq / dt * 1e3:,.0f} q/s", flush=True)
+                approx=True, impl=impl, group=group))
+            print(f"np={n_probe} k={k} scan_cell_major[{impl},g{group}]: "
+                  f"{dt:.1f} ms -> {nq / dt * 1e3:,.0f} q/s", flush=True)
 
         # merge A/B on representative packed data (descending runs)
         k_pair = 64
@@ -120,10 +122,11 @@ def main():
 
         index.n_probe = n_probe
         index.scan_mode = "cell_major"
+        index.scan_group = 4
         for impl in ("auto",):
             index.scan_impl = impl
             dt = timeit(lambda: index.search(q.T, k=k))
-            print(f"  index.search[cell_major,{impl}]: {dt:.1f} ms -> "
+            print(f"  index.search[cell_major,{impl},g4]: {dt:.1f} ms -> "
                   f"{nq / dt * 1e3:,.0f} q/s", flush=True)
         index.scan_mode = "auto"
 
