@@ -319,3 +319,38 @@ def test_deep_k_exact_merge_matches_bruteforce(rng):
         len(np.intersect1d(a, b)) / k
         for a, b in zip(np.asarray(got_pack), want_ids)])
     assert overlap > 0.95, f"pack32 deep-k overlap {overlap}"
+
+
+def test_lane_padded_cache_d_not_mult_128(rng):
+    """d > 128 and not a multiple of 128 (the GIST-960 shape class): the
+    decoded cache is lane-padded to the next multiple of 128 so the Pallas
+    scan's window DMA tiles; zero columns must be score-invisible in every
+    plan (probed scans, flat sweep, reconstruct-similarity)."""
+    d, m = 160, 16
+    index, x, ids = _make_index(rng, d=d, m=m, n_cells=8, n=700)
+    assert index.aux("decoded").shape[1] == 256  # padded width
+    nq, k = 6, 10
+    q = rng.normal(size=(nq, d)).astype(np.float32)
+    index.n_probe = index.n_cells
+    index.use_smart_probing = False
+
+    decoded = np.asarray(index.aux("decoded")).astype(np.float32)[:, :d]
+    a2i = np.asarray(index._address2id)
+    live = a2i >= 0
+    s = -((q[:, None] - decoded[None]) ** 2).sum(-1)
+    s[:, ~live] = -np.inf
+    want_ids = a2i[np.argsort(-s, axis=1)[:, :k]]
+
+    for mode in ("cell_major", "query_major", "flat"):
+        index.scan_mode = mode
+        _, got = index.search(jnp.asarray(q.T), k=k)
+        agree = (np.asarray(got) == want_ids).mean()
+        assert agree > 0.99, f"{mode} agreement {agree}"
+    index.scan_mode = "auto"
+
+    # relayout rebuild keeps the padded width + zero pad columns
+    index.remove(ids=ids[:100])
+    assert index.aux("decoded").shape[1] == 256
+    sims = index.similarity_at_address(
+        jnp.asarray(q.T), jnp.arange(32))
+    assert np.isfinite(np.asarray(sims)).any()

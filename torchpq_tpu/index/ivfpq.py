@@ -342,8 +342,16 @@ class IVFPQIndex(CellContainer):
         assert not (self._code_domain and pq_use_residual), \
             "scan_cache_dtype='none' does not support pq_use_residual yet " \
             "(the per-cell centroid term is not in the code LUT)"
+        # lane-pad the cache width to a multiple of 128 for d > 128
+        # (e.g. GIST's 960 -> 1024): the Pallas scan's candidate-window DMA
+        # needs the trailing dim to tile (d % 128 == 0), and zero columns
+        # are invisible to every dot product. Queries are padded to match
+        # at the scan entry points (util.pad_cols). +6.7% cache at d=960;
+        # exact no-op when d is already a multiple of 128.
+        self._d_cache = (util.round_up(d_vector, 128) if d_vector > 128
+                         else d_vector)
         if not self._code_domain:
-            self.add_aux_store("decoded", d_vector, cache_dtype)
+            self.add_aux_store("decoded", self._d_cache, cache_dtype)
         self.add_aux_store("norm", 1, "float32")
         self._int8_cache = (not self._code_domain
                             and str(cache_dtype) == "int8")
@@ -393,7 +401,7 @@ class IVFPQIndex(CellContainer):
         ~512 MB blocks (see CellContainer.set_aux_rebuilder). Never-written
         slots decode to garbage instead of zeros; every consumer masks by
         is_empty, so that is unobservable."""
-        cap, d = self._capacity, self.d_vector
+        cap, d = self._capacity, self._d_cache
         dec_dt = (jnp.float32 if self._code_domain
                   else self._aux["decoded"][1])
         chunk = min(cap, util.next_pow2(max(16384, (1 << 27) // max(d, 1))))
@@ -412,7 +420,7 @@ class IVFPQIndex(CellContainer):
                 residual=self.pq_use_residual,
                 rerank_storage=rr_store, rr_codebook=rr_cb)
             if dec is not None:
-                dec = _write_rows(dec, db, c0)
+                dec = _write_rows(dec, util.pad_cols(db, d), c0)
             nrm = _write_rows(nrm, nb, c0)
             if sb is not None:
                 sc = _write_rows(sc, sb, c0)
@@ -636,10 +644,10 @@ class IVFPQIndex(CellContainer):
             pass  # codes ARE the scan data; nothing cached beyond norms
         elif self._int8_cache:
             q, scale = util.int8_quantize_rows(decoded)
-            aux_rows["decoded"] = q
+            aux_rows["decoded"] = util.pad_cols(q, self._d_cache)
             aux_rows["scale"] = scale[:, None]
         else:
-            aux_rows["decoded"] = decoded
+            aux_rows["decoded"] = util.pad_cols(decoded, self._d_cache)
         return super().add(
             self._pack_codes(codes_nm).T, cells, ids=ids,
             return_address=return_address, aux_rows=aux_rows)
@@ -930,6 +938,7 @@ class IVFPQIndex(CellContainer):
             y = y * self.aux("scale")[safe]
         y_sq = self.aux("norm")[safe, 0]
         from ..ops.adc import _block_scores
+        q = util.pad_cols(q, y.shape[-1])  # lane-padded decoded cache
         sims = _block_scores(q[None], y[None], y_sq[None], self.distance)[0]
         return jnp.where(valid[None, :], sims, -jnp.inf)
 

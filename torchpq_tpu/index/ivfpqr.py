@@ -211,10 +211,10 @@ class IVFPQRIndex(IVFPQIndex):
                                        keepdims=True)
             if self._int8_cache:
                 qd, scale = util.int8_quantize_rows(full)
-                aux_rows["decoded"] = qd
+                aux_rows["decoded"] = util.pad_cols(qd, self._d_cache)
                 aux_rows["scale"] = scale[:, None]
             else:
-                aux_rows["decoded"] = full
+                aux_rows["decoded"] = util.pad_cols(full, self._d_cache)
         from ..container.cell import CellContainer
         return CellContainer.add(
             self, self._pack_codes(codes_nm).T, cells, ids=ids,

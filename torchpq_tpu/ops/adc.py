@@ -176,6 +176,7 @@ def scan_query_major(query, cells, probe_mask, decoded, norms, is_empty,
     distance = canonical_distance(distance)
     assert decoded.dtype != jnp.int8, \
         "int8 caches need per-slot scales — use scan_cell_major or the flat sweep"
+    query = util.pad_cols(query, decoded.shape[-1])  # lane-padded cache
     nq = cells.shape[0]
     slot_iota = jnp.arange(s_max, dtype=jnp.int32)
 
@@ -504,6 +505,9 @@ def scan_cell_major(query, cells, probe_mask, decoded, norms, is_empty,
       matmul cost at s=2048); approx=True uses the TPU-native approx_max_k.
     """
     distance = canonical_distance(distance)
+    # lane-padded decoded cache (d rounded up to 128 at d > 128): zero
+    # columns are score-invisible; pad the queries to match
+    query = util.pad_cols(query, decoded.shape[-1])
     nq, n_probe = cells.shape
     d = query.shape[-1]
     n_pairs = nq * n_probe

@@ -191,6 +191,7 @@ def flat_adc_auto(query, decoded, penalty, *, k, distance, approx=True,
     ~100x slower; it stays as an opt-in experiment (impl="pallas_flat"),
     not a default.
     """
+    query = util.pad_cols(query, decoded.shape[-1])  # lane-padded cache
     use_pallas = (
         impl == "pallas_flat" and distance != "manhattan"
         and decoded.dtype != jnp.int8 and k <= 32

@@ -398,8 +398,10 @@ class ShardedIVFPQSearcher:
             scale_rows = jnp.zeros((n,), jnp.float32)
         elif self._int8:
             decoded_rows, scale_rows = util.int8_quantize_rows(decoded_rows)
+            decoded_rows = util.pad_cols(decoded_rows, self.decoded.shape[-1])
         else:
             scale_rows = jnp.zeros((n,), jnp.float32)
+            decoded_rows = util.pad_cols(decoded_rows, self.decoded.shape[-1])
         if ids is None:
             # host _max_id shadow: the sharded id store is O(capacity) and
             # device-resident — gathering it per add() would put a full

@@ -31,6 +31,18 @@ def next_pow2(x):
     return 1 << (x - 1).bit_length()
 
 
+def pad_cols(x, w):
+    """Zero-pad the trailing axis to width `w` (no-op when already there).
+
+    Used to match queries against a lane-padded decoded scan cache
+    (d rounded up to a multiple of LANE so the Pallas scan's window DMA
+    tiles cleanly): zero columns add nothing to any dot product, so
+    scores are unchanged."""
+    if x.shape[-1] == w:
+        return x
+    return jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, w - x.shape[-1])])
+
+
 def str2dtype(dtype):
     """Parse a dtype name the way the reference's util.str2dtype does."""
     if not isinstance(dtype, str):
