@@ -82,6 +82,7 @@ def main():
     from bench import make_data, brute_force_topk, recall_at_k
     from torchpq_tpu.index import IVFPQIndex, IVFPQRIndex
     from torchpq_tpu import native
+    from torchpq_tpu.ops import adc
 
     if args.base:
         base = native.read_fvecs(args.base, n_max=args.n_base)
@@ -184,6 +185,10 @@ def main():
                      "qps": round(len(query) / dt, 1),
                      f"recall@{k}": round(
                          recall_at_k(pred_np, gt[:, :k], ids_map, k), 4)}
+            if n_probe != "flat" and adc.LAST_GATE:
+                # resolved impl of the scan that actually served this row
+                # (recorded at trace time — see ops/adc.LAST_GATE)
+                entry["scan_gate"] = dict(adc.LAST_GATE)
             entries.append(entry)
             print(entry, file=sys.stderr)
 

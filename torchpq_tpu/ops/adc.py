@@ -50,6 +50,11 @@ from .. import util
 from ..metric import canonical_distance
 from . import bitonic
 
+# resolved-impl record of the most recent scan_cell_major TRACE (static
+# config -> one trace): {"impl", "k_pair", "s_eff", "d", "bps", "pack32"}.
+# Diagnostics only — cached executions don't update it.
+LAST_GATE = {}
+
 
 # ---------------------------------------------------------------------------
 # LUT construction + gather oracle (the reference's precompute_adc + scan)
@@ -646,6 +651,14 @@ def scan_cell_major(query, cells, probe_mask, decoded, norms, is_empty,
         and (not approx or (pack32 and (s_eff % 128 == 0
                                         or (s_pow2 == s_eff
                                             and s_eff < 128)))))
+    # trace-time gate record (one trace per static config): lets benchmarks
+    # and sweeps RECORD which impl actually served a shape instead of
+    # trusting impl="auto" — VERDICT r2 found the best kernel silently
+    # unused because nothing surfaced the resolved choice
+    LAST_GATE.clear()
+    LAST_GATE.update(impl="pallas" if use_pallas else "xla",
+                     k_pair=k_pair, s_eff=s_eff, d=d_dec, bps=bps,
+                     pack32=pack32)
     if impl == "pallas" and not use_pallas:
         import warnings
         warnings.warn(
