@@ -81,3 +81,25 @@ def test_native_reader_offset_and_stream(tmp_path, rng):
     got2 = np.concatenate(list(native.stream_vecs(path, chunk_rows=25,
                                                   n_max=60)))
     np.testing.assert_array_equal(got2, data[:60])
+
+
+def test_locality_order_groups_near_centroids(rng):
+    """util.locality_order: valid permutation, and id-adjacent groups are
+    spatially tighter than the input order — the property supercell
+    grouping (ops/adc.py scan_group) converts into fewer live probe pairs."""
+    from torchpq_tpu import util
+    # clustered centroid cloud (what a trained coarse codebook looks like)
+    centers = rng.normal(size=(16, 32)).astype(np.float64) * 5
+    c = (centers[rng.integers(0, 16, 256)]
+         + rng.normal(size=(256, 32))).astype(np.float64)
+    order = util.locality_order(c)
+    assert sorted(order.tolist()) == list(range(256))  # permutation
+
+    def group_spread(cl, g=4):
+        grp = cl.reshape(-1, g, cl.shape[-1])
+        return float(((grp - grp.mean(1, keepdims=True)) ** 2).sum(-1)
+                     .mean())
+
+    # shuffled baseline vs locality order: grouped spread must shrink a lot
+    shuf = c[rng.permutation(256)]
+    assert group_spread(c[order]) < 0.5 * group_spread(shuf)

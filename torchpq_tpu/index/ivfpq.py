@@ -557,6 +557,16 @@ class IVFPQIndex(CellContainer):
             x = util.normalize(x, axis=0)
         self.print_message("training VQ codec...", 1)
         self.vq_codec.train(x)
+        # locality-relabel the cell ids (recursive PCA bisection of the
+        # coarse centroids, util.locality_order): id-adjacent cells become
+        # spatially adjacent, so supercell grouping (scan_group) collapses
+        # a query's probed cells into few shared windows. Pure relabeling
+        # before any add — the probed cell set, and hence recall, is
+        # unchanged at group=1. No reference counterpart (GPU scans don't
+        # window by id-adjacency).
+        km = self.vq_codec.kmeans
+        order = util.locality_order(np.asarray(km._centroids[0]))
+        km._centroids = km._centroids[:, jnp.asarray(order)]
         self.print_message("training PQ codec...", 1)
         if self.pq_use_residual:
             code = self.vq_codec.encode(x)

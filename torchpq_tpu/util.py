@@ -31,6 +31,47 @@ def next_pow2(x):
     return 1 << (x - 1).bit_length()
 
 
+def locality_order(centroids):
+    """Recursive balanced PCA-bisection order over [n, d] centroid rows:
+    spatially near centroids receive near ids, at EVERY pow2 granularity
+    (each recursion level splits a contiguous id range in half), so
+    supercell grouping (ops/adc.py scan_group) turns id-adjacency into
+    probe-window sharing: a query's coarse top-n_probe cells — all near
+    the query, hence near each other — dedup into ~n_probe/group live
+    supercell pairs instead of ~n_probe. Pure relabeling: the probed cell
+    SET is unchanged, so recall is identical at group=1 and can only
+    improve under grouping (supersets are scored). Host-side, one-shot at
+    train time. Returns an int64 permutation: new id i holds old centroid
+    order[i]."""
+    c = np.asarray(centroids, np.float64)
+    n = c.shape[0]
+    order = np.empty(n, np.int64)
+    pos = 0
+
+    def rec(idx):
+        nonlocal pos
+        if len(idx) <= 2:
+            order[pos:pos + len(idx)] = idx
+            pos += len(idx)
+            return
+        x = c[idx] - c[idx].mean(0)
+        v = x[0] + 1e-9  # top principal axis by power iteration
+        for _ in range(8):
+            v = x.T @ (x @ v)
+            nv = np.linalg.norm(v)
+            if nv < 1e-30:
+                break
+            v = v / nv
+        t = x @ v
+        srt = np.argsort(t, kind="stable")
+        h = len(idx) // 2
+        rec(idx[srt[:h]])
+        rec(idx[srt[h:]])
+
+    rec(np.arange(n))
+    return order
+
+
 def pad_cols(x, w):
     """Zero-pad the trailing axis to width `w` (no-op when already there).
 
