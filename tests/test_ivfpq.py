@@ -354,3 +354,31 @@ def test_lane_padded_cache_d_not_mult_128(rng):
     sims = index.similarity_at_address(
         jnp.asarray(q.T), jnp.arange(32))
     assert np.isfinite(np.asarray(sims)).any()
+
+
+def test_probe_cap_supercell_truncation(rng):
+    """scan_probe_cap under supercell grouping: keeps each query's
+    best-ranked distinct supercells, shrinking the static probe axis.
+    With locality-ordered cells a 2x-slack cap must match the uncapped
+    grouped scan almost everywhere."""
+    index, x, ids = _make_index(rng, d=64, m=8, n_cells=32, n=2000)
+    index.use_smart_probing = False
+    index.use_approx_topk = True
+    index.n_probe = 16
+    index.scan_mode = "cell_major"
+    index.scan_group = 4
+    q = rng.normal(size=(12, 64)).astype(np.float32)
+
+    _, base_ids = index.search(jnp.asarray(q.T), k=10)
+    index.scan_probe_cap = "auto"  # 2 * 16/4 = 8 distinct supercells
+    _, cap_ids = index.search(jnp.asarray(q.T), k=10)
+    overlap = np.mean([
+        len(np.intersect1d(a, b)) / 10
+        for a, b in zip(np.asarray(base_ids), np.asarray(cap_ids))])
+    assert overlap > 0.9, f"probe_cap overlap {overlap}"
+
+    # explicit int cap smaller than n_probe also works and stays sane
+    index.scan_probe_cap = 4
+    vals, got = index.search(jnp.asarray(q.T), k=10)
+    assert np.isfinite(np.asarray(vals)[:, 0]).all()
+    index.scan_probe_cap = None

@@ -25,7 +25,7 @@ class IVFPQTopk:
     def topk(self, query, cells, probe_mask, decoded, norms, is_empty,
              cell_start, cell_capacity, *, k, distance, s_max, scales=None,
              mode=None, approx=None, impl="xla", group=1, precision=None,
-             pq_codebook=None):
+             pq_codebook=None, probe_cap=None):
         """Returns (values [nq, k] f32, addresses [nq, k] i32; -1 padding).
         mode/approx default to the instance settings; impl/group/precision
         pass through to the cell-major scan. When `decoded` is the raw uint8
@@ -55,4 +55,5 @@ class IVFPQTopk:
             query, cells, probe_mask, decoded, norms, is_empty,
             cell_start, cell_capacity, k=k, distance=distance, s_max=s_max,
             n_cells=self.n_cells, p_tile=self.p_tile, approx=approx,
-            scales=scales, impl=impl, group=group, precision=precision)
+            scales=scales, impl=impl, group=group, precision=precision,
+            probe_cap=probe_cap)

@@ -242,11 +242,13 @@ def _search_flat(q, decoded, norms, is_empty, addr_map, address2id, *,
 @functools.partial(
     jax.jit,
     static_argnames=("k", "n_probe", "use_smart", "precision", "distance",
-                     "s_max", "n_cells", "mode", "approx", "impl", "group"))
+                     "s_max", "n_cells", "mode", "approx", "impl", "group",
+                     "probe_cap"))
 def _search_full(q, coarse_codebook, decoded, norms, is_empty, cell_start,
                  cell_capacity, address2id, temperature, *, k, n_probe,
                  use_smart, precision, distance, s_max, n_cells, mode,
-                 approx, impl="xla", group=1, scales=None, addr_map=None):
+                 approx, impl="xla", group=1, scales=None, addr_map=None,
+                 probe_cap=None):
     """The whole query path in one jit: coarse scoring + probing + fused
     scan + id translation. One dispatch per search call — the reference pays
     one kernel launch per stage (IVFPQIndex.py:469-524); here XLA fuses the
@@ -269,7 +271,7 @@ def _search_full(q, coarse_codebook, decoded, norms, is_empty, cell_start,
             q, cells, mask, decoded, norms, is_empty, cell_start,
             cell_capacity, k=k, distance=distance, s_max=s_max,
             n_cells=n_cells, approx=approx, impl=impl, group=group,
-            scales=scales, precision=precision)
+            scales=scales, precision=precision, probe_cap=probe_cap)
     if addr_map is not None:
         # scanning the compacted layout: translate back to storage addresses
         addr = jnp.where(addr >= 0, addr_map[jnp.maximum(addr, 0)], -1)
@@ -332,6 +334,13 @@ class IVFPQIndex(CellContainer):
         # supercell grouping: scan `scan_group` adjacent cells per block
         # (fewer, larger window DMAs; extra scored neighbors only help recall)
         self.scan_group = 1
+        # static probe-axis cap under grouping: keep each query's best
+        # `scan_probe_cap` DISTINCT supercells (None = off, "auto" =
+        # 2x-slack over n_probe/group, int = explicit). Locality-ordered
+        # cell ids make a 2x cap nearly lossless while shrinking the
+        # scan's static costs (grid, unsort, merge) by n_probe/cap —
+        # the deep-k (k=100) bookkeeping lever. Approx mode only.
+        self.scan_probe_cap = None
 
         cache_dtype = scan_cache_dtype or config.SCAN_CACHE_DTYPE
         # scan_cache_dtype="none": keep NO decoded cache — scans read the
@@ -688,7 +697,8 @@ class IVFPQIndex(CellContainer):
             mode=self.scan_mode, approx=self._use_approx_topk,
             impl=self.scan_impl, group=self.scan_group, precision=precision,
             pq_codebook=(self._scan_codebook
-                         if self._code_domain else None))
+                         if self._code_domain else None),
+            probe_cap=self._resolved_probe_cap(cells.shape[1]))
         ids = self.get_id_by_address(addr)
         ids = jnp.where(addr >= 0, ids, -1)
         if return_address:
@@ -788,6 +798,17 @@ class IVFPQIndex(CellContainer):
             res = (dec, nrm, emp, amap, sc)
         self._flat_cache = (ver, res)
         return res
+
+
+    def _resolved_probe_cap(self, n_probe):
+        """Static probe_cap for this search (None disables truncation)."""
+        cap = self.scan_probe_cap
+        if cap is None or self.scan_group <= 1 or not self._use_approx_topk:
+            return None
+        if cap == "auto":
+            cap = max(2 * util.cdiv(n_probe, self.scan_group), 8)
+        cap = int(cap)
+        return cap if cap < n_probe else None
 
     def plan_scan_mode(self, nq, k):
         """The scan plan `search` will run for a [d, nq] batch at this k:
@@ -906,7 +927,8 @@ class IVFPQIndex(CellContainer):
                 distance=self.distance, s_max=s_live,
                 n_cells=self.n_cells, mode=mode,
                 approx=self._use_approx_topk, impl=self.scan_impl,
-                group=self.scan_group, scales=sc, addr_map=amap)
+                group=self.scan_group, scales=sc, addr_map=amap,
+                probe_cap=self._resolved_probe_cap(n_probe))
             if return_address:
                 return vals, ids, addr
             return vals, ids
@@ -920,7 +942,8 @@ class IVFPQIndex(CellContainer):
             s_max=self.max_cell_capacity, n_cells=self.n_cells, mode=mode,
             approx=self._use_approx_topk, impl=self.scan_impl,
             group=self.scan_group,
-            scales=self.aux("scale")[:, 0] if self._int8_cache else None)
+            scales=self.aux("scale")[:, 0] if self._int8_cache else None,
+            probe_cap=self._resolved_probe_cap(n_probe))
         if return_address:
             return vals, ids, addr
         return vals, ids

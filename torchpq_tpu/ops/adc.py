@@ -482,12 +482,12 @@ def _merge_pairs(combo, query, pair_block, pair_slot, start_c_all, *,
     jax.jit,
     static_argnames=("k", "distance", "s_max", "n_cells", "p_tile",
                      "block_chunk", "approx", "impl", "interpret", "group",
-                     "precision", "k_pair"))
+                     "precision", "k_pair", "probe_cap"))
 def scan_cell_major(query, cells, probe_mask, decoded, norms, is_empty,
                     cell_start, cell_capacity, *, k, distance, s_max, n_cells,
                     p_tile=128, block_chunk=8, approx=False, impl="xla",
                     interpret=False, group=1, scales=None, precision=None,
-                    k_pair=None):
+                    k_pair=None, probe_cap=None):
     """Inverted-probe-list grouped-matmul scan.
 
     Probed (query, cell) pairs are sorted by cell and packed into blocks of up
@@ -530,13 +530,32 @@ def scan_cell_major(query, cells, probe_mask, decoded, norms, is_empty,
         super_cap = jnp.diff(jnp.concatenate(
             [super_start, jnp.array([cap_total_], super_start.dtype)]))
         sup = jnp.where(probe_mask, cells // group, n_super)
-        # dedup per query row (two probed cells may share a supercell)
-        sup_sorted = jnp.sort(sup, axis=1)
-        dup = jnp.concatenate(
-            [jnp.zeros((nq, 1), bool),
-             sup_sorted[:, 1:] == sup_sorted[:, :-1]], axis=1)
-        cells = jnp.where(dup, n_super, sup_sorted).astype(jnp.int32)
+        # rank-preserving first-occurrence dedup (two probed cells may
+        # share a supercell): an [np, np] strict-lower compare per row —
+        # np <= 128 keeps it VPU-trivial — instead of the old value-sort,
+        # so surviving entries keep their coarse rank order
+        prior = jnp.tril(jnp.ones((n_probe, n_probe), bool), k=-1)
+        dup = jnp.any((sup[:, :, None] == sup[:, None, :]) & prior[None],
+                      axis=-1)
+        cells = jnp.where(dup, n_super, sup).astype(jnp.int32)
         probe_mask = cells < n_super
+        if probe_cap is not None and probe_cap < n_probe:
+            # static probe-axis truncation: keep each query's best-ranked
+            # `probe_cap` DISTINCT supercells. With locality-ordered cell
+            # ids (util.locality_order) a query's n_probe cells collapse
+            # into ~n_probe/group supercells, so a 2x-slack cap drops
+            # nothing for most queries while shrinking every static
+            # downstream cost (block grid, unsort gather, merge width)
+            # by n_probe/probe_cap. ANN-semantics knob: the scanned set
+            # is the top probe_cap windows of `group` cells each.
+            key = jnp.where(probe_mask,
+                            jnp.arange(n_probe, dtype=jnp.int32)[None, :],
+                            jnp.int32(n_probe))
+            order = jnp.argsort(key, axis=1)[:, :probe_cap]
+            cells = jnp.take_along_axis(cells, order, axis=1)
+            probe_mask = jnp.take_along_axis(probe_mask, order, axis=1)
+            n_probe = probe_cap
+            n_pairs = nq * n_probe
         cell_start = super_start
         cell_capacity = super_cap
         n_cells = n_super
