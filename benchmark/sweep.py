@@ -73,6 +73,9 @@ def main():
     ap.add_argument("--scan-group", type=int, default=4,
                     help="supercells: adjacent cells scanned per block "
                          "(fewer, larger window DMAs; see ops/adc.py)")
+    ap.add_argument("--probe-cap", default=None,
+                    help="static probe-axis cap under grouping: 'auto', "
+                         "an int, or unset (see IVFPQIndex.scan_probe_cap)")
     ap.add_argument("--no-spill", action="store_true",
                     help="reference add semantics: every item in its argmax "
                          "cell (the A/B against the default bounded-cell "
@@ -113,6 +116,9 @@ def main():
         index.spill_cells = 8
         index.spill_capacity = index.max_cell_capacity
     index.scan_group = args.scan_group  # supercell grouping (ops/adc.py)
+    if args.probe_cap is not None:
+        index.scan_probe_cap = (args.probe_cap if args.probe_cap == "auto"
+                                else int(args.probe_cap))
 
     def _mem(tag):
         ms = jax.local_devices()[0].memory_stats() or {}
@@ -198,7 +204,8 @@ def main():
         "distance": args.distance, "residual": args.residual,
         "index": args.index, "n_bits": args.n_bits,
         "cache": args.cache, "spill": not args.no_spill,
-        "scan_group": args.scan_group, "initial_mult": args.initial_mult,
+        "scan_group": args.scan_group, "probe_cap": args.probe_cap,
+        "initial_mult": args.initial_mult,
         "scan_impl": index.scan_impl, "s_max": int(index.max_cell_capacity),
         "train_s": round(train_s, 2), "add_s": round(add_s, 2),
         "device": str(jax.devices()[0]), "entries": entries,

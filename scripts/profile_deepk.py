@@ -94,16 +94,21 @@ def main():
                                        n_probe=n_probe, use_smart=True,
                                        precision=None, approx=True)
         jax.block_until_ready(cells)
-        # composed scan: impl x supercell group (deep-k bookkeeping is
-        # per-pair, so bigger groups may win here even where k=10 prefers 4)
-        for impl, group in (("pallas", 1), ("pallas", 4), ("pallas", 8),
-                            ("xla", 4)):
-            dt = timeit(lambda impl=impl, group=group: adc.scan_cell_major(
+        # composed scan: impl x supercell group x probe_cap (deep-k
+        # bookkeeping is per-pair; groups + the static probe cap shrink it)
+        for impl, group, cap in (
+                ("pallas", 1, None), ("pallas", 4, None), ("pallas", 8, None),
+                ("pallas", 4, max(2 * n_probe // 4, 8)),
+                ("pallas", 8, max(2 * n_probe // 8, 8)),
+                ("xla", 4, None)):
+            dt = timeit(lambda impl=impl, group=group, cap=cap:
+                        adc.scan_cell_major(
                 q, cells, mask, decoded, norms, is_empty, cstart, ccap,
                 k=k, distance="euclidean", s_max=s_max, n_cells=n_cells,
-                approx=True, impl=impl, group=group))
-            print(f"np={n_probe} k={k} scan_cell_major[{impl},g{group}]: "
-                  f"{dt:.1f} ms -> {nq / dt * 1e3:,.0f} q/s", flush=True)
+                approx=True, impl=impl, group=group, probe_cap=cap))
+            print(f"np={n_probe} k={k} scan_cell_major[{impl},g{group},"
+                  f"cap{cap}]: {dt:.1f} ms -> {nq / dt * 1e3:,.0f} q/s",
+                  flush=True)
 
         # merge A/B on representative packed data (descending runs)
         k_pair = 64
@@ -123,11 +128,12 @@ def main():
         index.n_probe = n_probe
         index.scan_mode = "cell_major"
         index.scan_group = 4
-        for impl in ("auto",):
-            index.scan_impl = impl
+        for cap in (None, "auto"):
+            index.scan_probe_cap = cap
             dt = timeit(lambda: index.search(q.T, k=k))
-            print(f"  index.search[cell_major,{impl},g4]: {dt:.1f} ms -> "
-                  f"{nq / dt * 1e3:,.0f} q/s", flush=True)
+            print(f"  index.search[cell_major,auto,g4,cap={cap}]: "
+                  f"{dt:.1f} ms -> {nq / dt * 1e3:,.0f} q/s", flush=True)
+        index.scan_probe_cap = None
         index.scan_mode = "auto"
 
 
