@@ -152,8 +152,9 @@ def main():
     # the axon tunnel exposes no memory_stats; fall back to summing the
     # index's live device state (storage + aux + maps) — the resident set
     # the capacity claim is about
-    state_gb = sum(v.nbytes for v in index.state_dict().values()
-                   if hasattr(v, "nbytes")) / 1e9
+    # state_nbytes sums device-array metadata — state_dict() would pull
+    # the whole multi-GB index to the host and drop the TPU tunnel
+    state_gb = index.state_nbytes() / 1e9
     hbm_gb = ms.get("bytes_in_use", 0) / 1e9 or round(state_gb, 2)
     print(f"[100m] HBM in use: {hbm_gb:.2f} GB "
           f"(index state {state_gb:.2f} GB, "

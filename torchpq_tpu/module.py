@@ -45,6 +45,21 @@ class StateModule:
             out.update(mod.state_dict(prefix=prefix + name + "."))
         return out
 
+    def state_nbytes(self):
+        """Total bytes of registered state, summed WITHOUT device->host
+        transfer (jax arrays report .nbytes from metadata). state_dict()
+        materializes every array on the host — at 100M-slot scale that is
+        a multi-GB pull over the device tunnel and can drop the TPU
+        connection; use this for capacity accounting instead."""
+        total = 0
+        for k in self._state_keys:
+            v = getattr(self, k)
+            if v is not None and hasattr(v, "nbytes"):
+                total += int(v.nbytes)
+        for mod in self._submodules.values():
+            total += mod.state_nbytes()
+        return total
+
     def load_state_dict(self, state, prefix=""):
         for k in self._state_keys:
             key = prefix + k
