@@ -44,6 +44,10 @@ def test_readme_ivfpq_flow(rng, tmp_path):
 
     # save / load (state_dict round trip, like torch.save(state_dict()))
     state = index.state_dict()
+    # capacity accounting without device->host transfer matches the
+    # materialized state byte-for-byte (used by scripts/demo_100m.py)
+    assert index.state_nbytes() == sum(
+        v.nbytes for v in state.values() if hasattr(v, "nbytes"))
     index2 = torchpq.index.IVFPQIndex(
         d_vector=d_vector, n_subvectors=8, n_cells=16, initial_size=128,
         scan_cache_dtype="float32")
