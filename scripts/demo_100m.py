@@ -168,6 +168,16 @@ def main():
                "train_s": round(train_s, 1), "ingest_s": round(add_s, 1),
                "entries": []}
     qj = queries.T
+    path = os.path.join(os.path.dirname(__file__), "..", "benchmark",
+                        "results", "demo_100m.json")
+
+    def _flush():
+        # write after every row: a wall-clock-killed run still leaves the
+        # build stats + whatever search points completed on the record
+        with open(path, "w") as f:
+            json.dump(results, f, indent=1)
+
+    _flush()
     # pin the scan per row (sweep.py-style honesty): probed points run the
     # probed one-hot scan, the flat decode-on-the-fly sweep is its own row
     for n_probe in (1, 8, 32, "flat"):
@@ -194,11 +204,8 @@ def main():
                "train_s": round(train_s, 1), "ingest_s": round(add_s, 1)}
         print(json.dumps(out), flush=True)
         results["entries"].append(out)
+        _flush()
 
-    path = os.path.join(os.path.dirname(__file__), "..", "benchmark",
-                        "results", "demo_100m.json")
-    with open(path, "w") as f:
-        json.dump(results, f, indent=1)
     print("wrote", path, flush=True)
 
 
