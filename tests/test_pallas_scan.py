@@ -80,6 +80,45 @@ def test_pallas_approx_scan_recall(rng):
             assert abs(vp - vx) <= max(1e-2, 2e-3 * abs(vx)), (i, a, vp, vx)
 
 
+@pytest.mark.parametrize("approx", [False, True])
+def test_pallas_int8_scan_matches_xla(rng, approx):
+    """int8-cache kernel mode: the window DMA moves 1 B/dim and the MXU
+    runs int8 x int8 -> int32; selection must match the XLA int8 branch
+    (identical integer matmul + identical dequant op order)."""
+    d, m, n_cells, n = 32, 8, 8, 3000
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    index = IVFPQIndex(d_vector=d, n_subvectors=m, n_cells=n_cells,
+                       distance="euclidean", scan_cache_dtype="int8",
+                       initial_size=64)
+    index.train(jnp.asarray(x.T))
+    index.add(jnp.asarray(x.T))
+    assert index.aux("decoded").dtype == jnp.int8
+
+    nq, n_probe, k = 16, 4, 8
+    q = jnp.asarray(rng.normal(size=(nq, d)).astype(np.float32))
+    _, cells, mask = _coarse_probe(
+        q, index.vq_codec.kmeans._centroids[0], jnp.float32(30.0),
+        n_probe=n_probe, use_smart=False, precision=None)
+    args = (q, cells, mask, index.aux("decoded"), index.aux("norm")[:, 0],
+            index._is_empty, index._cell_start, index._cell_capacity)
+    kw = dict(k=k, distance="euclidean", s_max=index.max_cell_capacity,
+              n_cells=n_cells, approx=approx,
+              scales=index.aux("scale")[:, 0])
+    v_x, a_x = adc.scan_cell_major(*args, impl="xla", **kw)
+    v_p, a_p = adc.scan_cell_major(*args, impl="pallas", interpret=True, **kw)
+    assert adc.LAST_GATE["impl"] == "pallas" and \
+        adc.LAST_GATE["cache"] == "int8"
+    a_x, a_p = np.asarray(a_x), np.asarray(a_p)
+    v_x, v_p = np.asarray(v_x), np.asarray(v_p)
+    if approx:
+        recall = np.mean([len(set(a_p[i]) & set(a_x[i])) / k
+                          for i in range(nq)])
+        assert recall >= 0.9, f"int8 approx pallas vs xla recall {recall}"
+    else:
+        np.testing.assert_array_equal(a_p, a_x)
+        np.testing.assert_allclose(v_p, v_x, rtol=1e-5, atol=1e-5)
+
+
 def test_k_pair_cap_large_k(rng):
     """Approx mode caps the per-pair candidate count for large k; recall
     against the exact scan must survive the cap."""

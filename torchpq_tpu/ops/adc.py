@@ -654,7 +654,6 @@ def scan_cell_major(query, cells, probe_mask, decoded, norms, is_empty,
     interpret = interpret or config.PALLAS_INTERPRET
     use_pallas = (
         impl in ("pallas", "auto") and distance != "manhattan"
-        and not int8_cache
         and k_pair <= 64
         # the in-kernel scratch slice cand_buf[slot, j] needs a lane-
         # aligned trailing dim (Mosaic: "Slice shape along dimension 1
@@ -677,13 +676,13 @@ def scan_cell_major(query, cells, probe_mask, decoded, norms, is_empty,
     LAST_GATE.clear()
     LAST_GATE.update(impl="pallas" if use_pallas else "xla",
                      k_pair=k_pair, s_eff=s_eff, d=d_dec, bps=bps,
-                     pack32=pack32)
+                     pack32=pack32, cache=str(decoded.dtype))
     if impl == "pallas" and not use_pallas:
         import warnings
         warnings.warn(
             "scan_cell_major: impl='pallas' requested but the kernel gate "
             f"fails (k_pair={k_pair}<=64? dist={distance}!=manhattan? "
-            f"int8={int8_cache}? d={d_dec}%128==0? window 2*{bps}*{s_eff}*{d_dec}*"
+            f"d={d_dec}%128==0? window 2*{bps}*{s_eff}*{d_dec}*"
             f"{decoded.dtype.itemsize} <= {PALLAS_WINDOW_VMEM_BYTES}B? "
             f"approx needs pow2 s_eff<=4096, got {s_eff}) — falling back "
             "to XLA", stacklevel=2)
@@ -711,13 +710,24 @@ def scan_cell_major(query, cells, probe_mask, decoded, norms, is_empty,
         # rows through its BlockSpec pipeline. bps blocks per grid step
         # amortize the ~4 us/step pipeline overhead (block_chunk=8 divides
         # b_max, so any bps | block_chunk is safe).
-        mm_cast = (decoded.dtype if decoded.dtype == jnp.bfloat16
-                   else query.dtype)
-        qvecs_p = query_q.astype(mm_cast)[qidx_all]
+        if int8_cache:
+            # int8 stays int8 through the gather (1 B/dim); the per-slot
+            # dequant scales ride the same 16-aligned row gather as the
+            # penalty, and the per-prober query scales ride the tile gather
+            qvecs_p = query_q[qidx_all]
+            sc16 = scales.reshape(-1, 16)
+            scales_all = sc16[rows16].reshape(b_max, s_eff)
+            q_scales = q_scale_all[qidx_all]  # [B, p_tile]
+        else:
+            mm_cast = (decoded.dtype if decoded.dtype == jnp.bfloat16
+                       else query.dtype)
+            qvecs_p = query_q.astype(mm_cast)[qidx_all]
+            scales_all = q_scales = None
         combo = scan_blocks_pallas(
             qvecs_p, start_c_all, pen_all, decoded,
             s_eff=s_eff, k_pair=k_pair, p_tile=p_tile, distance=distance,
-            approx=pack32, slot_mask=slot_mask, bps=bps, interpret=interpret)
+            approx=pack32, slot_mask=slot_mask, bps=bps, interpret=interpret,
+            scales_all=scales_all, q_scales=q_scales)
     else:
         qvecs_all = query_q.astype(
             mm_dtype if distance != "manhattan" else query.dtype

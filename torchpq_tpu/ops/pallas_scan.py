@@ -116,17 +116,30 @@ def _select_topk(scores, k_pair, width, big, start, slot_mask, pack32,
 
 
 def _score_and_select(cand, pen, q, start, *, s_eff, p_tile,
-                      k_pair, euclidean, big, n_groups, slot_mask, pack32):
+                      k_pair, euclidean, big, n_groups, slot_mask, pack32,
+                      scale=None, q_sc=None):
     """One block: matmul + penalty + top-k select.
 
     cand [s_eff, d]; pen [s_eff] f32 (norm-or-BIG, all validity masking
     pre-folded by the caller); q [p, d]; start scalar (the window's
-    absolute start). Returns the [p, out_w] int32 output rows.
+    absolute start). int8 mode (scale/q_sc given): cand and q are int8,
+    the MXU matmul runs int8 x int8 -> int32 (exact integer math, 4x less
+    window DMA), and the dequant mirrors the XLA int8 branch's op order
+    bit-for-bit: scores = ab * (factor * q_sc[:,None] * scale[None,:]).
+    Returns the [p, out_w] int32 output rows.
     """
-    ab = jax.lax.dot_general(
-        q.astype(cand.dtype), cand, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)  # [p, s]
-    scores = (2.0 * ab if euclidean else ab) - pen[None, :]
+    if scale is not None:
+        ab = jax.lax.dot_general(
+            q, cand, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32).astype(jnp.float32)
+        factor = 2.0 if euclidean else 1.0
+        scores = ab * ((factor * q_sc)[:, None] * scale[None, :]) \
+            - pen[None, :]
+    else:
+        ab = jax.lax.dot_general(
+            q.astype(cand.dtype), cand, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # [p, s]
+        scores = (2.0 * ab if euclidean else ab) - pen[None, :]
 
     if pack32:
         # pack FIRST (key-bits | in-window slot), then select on the packed
@@ -159,9 +172,12 @@ def _score_and_select(cand, pen, q, start, *, s_eff, p_tile,
 
 
 def _make_kernel(s_eff, k_pair, p_tile, d, euclidean, big, n_groups,
-                 slot_mask, pack32, bps):
-    def kernel(start_ref, qvecs_ref, pen_ref, decoded, out_ref, cand_buf,
-               sems):
+                 slot_mask, pack32, bps, int8=False):
+    def kernel(start_ref, qvecs_ref, pen_ref, *rest):
+        if int8:
+            scale_ref, qsc_ref, decoded, out_ref, cand_buf, sems = rest
+        else:
+            decoded, out_ref, cand_buf, sems = rest
         g = pl.program_id(0)
         n_g = pl.num_programs(0)
 
@@ -192,7 +208,9 @@ def _make_kernel(s_eff, k_pair, p_tile, d, euclidean, big, n_groups,
                 cand_buf[slot, j], pen_ref[j, 0], qvecs_ref[j],
                 start_ref[g * bps + j], s_eff=s_eff, p_tile=p_tile,
                 k_pair=k_pair, euclidean=euclidean, big=big,
-                n_groups=n_groups, slot_mask=slot_mask, pack32=pack32)
+                n_groups=n_groups, slot_mask=slot_mask, pack32=pack32,
+                scale=scale_ref[j, 0] if int8 else None,
+                q_sc=qsc_ref[j, 0] if int8 else None)
 
     return kernel
 
@@ -203,7 +221,7 @@ def _make_kernel(s_eff, k_pair, p_tile, d, euclidean, big, n_groups,
                      "slot_mask", "bps", "interpret"))
 def scan_blocks_pallas(qvecs, start_all, pen_all, decoded, *, s_eff, k_pair,
                        p_tile, distance, approx=False, slot_mask=0, bps=4,
-                       interpret=False):
+                       interpret=False, scales_all=None, q_scales=None):
     """Run the fused block scan.
 
     qvecs: [B, p_tile, d] pre-gathered per-block query tiles (decoded's
@@ -213,12 +231,22 @@ def scan_blocks_pallas(qvecs, start_all, pen_all, decoded, *, s_eff, k_pair,
     decoded: [cap, d]. B must be a multiple of `bps` (blocks per grid step
     — the caller's block_chunk rounding guarantees it).
 
+    int8 cache mode (decoded int8, qvecs int8): pass scales_all [B, s_eff]
+    f32 per-slot dequant scales (staged like pen_all) and q_scales
+    [B, p_tile] f32 per-prober query scales. The window DMA moves 1 B/dim
+    (4x less HBM traffic than f32 — the lever at high d, where the scan is
+    window-DMA-bound), the MXU runs int8 x int8 -> int32, and the dequant
+    multiply matches the XLA int8 branch bit-for-bit.
+
     Returns combo int32: approx -> [B, p_tile, k_pair] pack32 rows
     (value-bits | slot, in-window slot, slot_mask wide); exact ->
     [B, p_tile, 2*k_pair] (sortable keys ++ absolute addresses).
     """
     b = start_all.shape[0]
     assert b % bps == 0, (b, bps)
+    int8 = decoded.dtype == jnp.int8
+    assert (scales_all is not None) == int8 and \
+        (q_scales is not None) == int8, "int8 cache needs both scale inputs"
     _, _, d = qvecs.shape
     big = float(jnp.finfo(jnp.float32).max / 4)
     euclidean = distance == "euclidean"
@@ -241,18 +269,30 @@ def scan_blocks_pallas(qvecs, start_all, pen_all, decoded, *, s_eff, k_pair,
         n_groups = s_eff
     out_w = k_pair if approx else 2 * k_pair
 
+    in_specs = [
+        pl.BlockSpec((bps, p_tile, d), lambda g, *_: (g, 0, 0),
+                     memory_space=pltpu.VMEM),
+        # [B, 1, s_eff] with a (bps, 1, s_eff) block: the middle
+        # singleton satisfies the last-two-dims tiling rule for any bps
+        pl.BlockSpec((bps, 1, s_eff), lambda g, *_: (g, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [qvecs, pen_all[:, None, :]]
+    if int8:
+        # per-slot dequant scales stream like the penalty rows; per-prober
+        # query scales stream like a 1-row query tile
+        in_specs.append(pl.BlockSpec((bps, 1, s_eff), lambda g, *_: (g, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        in_specs.append(pl.BlockSpec((bps, 1, p_tile), lambda g, *_: (g, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands += [scales_all[:, None, :], q_scales[:, None, :]]
+    in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+    operands.append(decoded)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b // bps,),
-        in_specs=[
-            pl.BlockSpec((bps, p_tile, d), lambda g, *_: (g, 0, 0),
-                         memory_space=pltpu.VMEM),
-            # [B, 1, s_eff] with a (bps, 1, s_eff) block: the middle
-            # singleton satisfies the last-two-dims tiling rule for any bps
-            pl.BlockSpec((bps, 1, s_eff), lambda g, *_: (g, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((bps, p_tile, out_w),
                                lambda g, *_: (g, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -263,7 +303,7 @@ def scan_blocks_pallas(qvecs, start_all, pen_all, decoded, *, s_eff, k_pair,
     )
 
     kernel = _make_kernel(s_eff, k_pair, p_tile, d, euclidean, big,
-                          n_groups, slot_mask, approx, bps)
+                          n_groups, slot_mask, approx, bps, int8=int8)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((b, p_tile, out_w), jnp.int32),
@@ -271,4 +311,4 @@ def scan_blocks_pallas(qvecs, start_all, pen_all, decoded, *, s_eff, k_pair,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=int(100e6)),
-    )(start_all.astype(jnp.int32), qvecs, pen_all[:, None, :], decoded)
+    )(start_all.astype(jnp.int32), *operands)
