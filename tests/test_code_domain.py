@@ -146,3 +146,41 @@ def test_code_domain_relayout_and_saveload(rng, tmp_path):
     index2.n_probe = 8
     _, got2 = index2.search(jnp.asarray(x[:32].T), k=1)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(got2))
+
+
+def test_gather_windows_path_matches_slice_path(rng, monkeypatch):
+    """The 100M-scale row-gather window fetch (config.CODES_GATHER_BYTES)
+    must select exactly what the dynamic_slice fetch selects — probed scan
+    and the decode-on-the-fly flat sweep both."""
+    from torchpq_tpu import config
+    index, x = _built(rng, n=3000)
+    nq, n_probe, k = 16, 4, 8
+    q = jnp.asarray(rng.normal(size=(nq, 32)).astype(np.float32))
+    _, cells, mask = _coarse_probe(
+        q, index.vq_codec.kmeans._centroids[0], jnp.float32(30.0),
+        n_probe=n_probe, use_smart=False, precision=None)
+    common = (q, cells, mask, index._storage, index.aux("norm")[:, 0],
+              index._is_empty, index._cell_start, index._cell_capacity,
+              index.pq_codec.codebook_internal)
+    kw = dict(k=k, distance="euclidean", s_max=index.max_cell_capacity,
+              n_cells=8, approx=False)
+    v_s, a_s = scan_cell_major_codes(*common, **kw)
+    monkeypatch.setattr(config, "CODES_GATHER_BYTES", 0)
+    scan_cell_major_codes._clear_cache()
+    v_g, a_g = scan_cell_major_codes(*common, **kw)
+    np.testing.assert_array_equal(np.asarray(a_g), np.asarray(a_s))
+    np.testing.assert_allclose(np.asarray(v_g), np.asarray(v_s),
+                               rtol=1e-5, atol=1e-5)
+
+    pen = jnp.where(index._is_empty, jnp.finfo(jnp.float32).max / 4,
+                    index.aux("norm")[:, 0])
+    fkw = dict(k=k, distance="euclidean", approx=False, chunk=512)
+    vf_g, af_g = flat_decode_scan(q, index._storage, pen,
+                                  index.pq_codec.codebook_internal, **fkw)
+    monkeypatch.setattr(config, "CODES_GATHER_BYTES", 1 << 31)
+    flat_decode_scan._clear_cache()
+    vf_s, af_s = flat_decode_scan(q, index._storage, pen,
+                                  index.pq_codec.codebook_internal, **fkw)
+    np.testing.assert_array_equal(np.asarray(af_g), np.asarray(af_s))
+    np.testing.assert_allclose(np.asarray(vf_g), np.asarray(vf_s),
+                               rtol=1e-5, atol=1e-5)

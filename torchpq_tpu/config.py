@@ -44,3 +44,10 @@ def set_train_precision(p):
 # kernels only exist on TPU). Read at trace time; set it before any scan is
 # traced (tests/conftest.py does).
 PALLAS_INTERPRET = False
+
+# code-domain scans fetch candidate windows by row-GATHER instead of
+# dynamic_slice once the codes array exceeds this: XLA's layout assignment
+# re-lays a multi-GB u8 dynamic_slice operand into a lane-padded tile (a
+# 2x whole-array copy that OOMs the 100M single-chip demo); gather
+# operands keep their layout. Tests lower it to cover the gather path.
+CODES_GATHER_BYTES = 1 << 31

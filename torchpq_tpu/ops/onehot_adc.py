@@ -125,6 +125,8 @@ def scan_cell_major_codes(query, cells, probe_mask, codes, norms, is_empty,
     pack32 = approx and s_pow2 <= 4096
     slot_mask = s_pow2 - 1
     key_neg_big = _f32_sortable_i32(-big) & jnp.int32(~slot_mask)
+    # see one_chunk: big codes flip the window fetch to row-gather
+    gather_windows = codes.nbytes > config.CODES_GATHER_BYTES
 
     lut = build_scan_lut(query, codebook, distance, precision)
     nc = lut.shape[-1]
@@ -137,12 +139,23 @@ def scan_cell_major_codes(query, cells, probe_mask, codes, norms, is_empty,
         # well); materializing all B tiles up front would be B x p x m*nc
         # bf16 = tens of GB
         lut_t = lut_flat[qidx]  # [bc, p, m*nc]
-        win = jnp.stack([
-            jax.lax.dynamic_slice(codes, (start_c[i], 0), (s_eff, m))
-            for i in range(block_chunk)])  # [bc, s, m] uint8
-        pen = jnp.stack([
-            jax.lax.dynamic_slice(penalty_arr, (start_c[i],), (s_eff,))
-            for i in range(block_chunk)])
+        if gather_windows:
+            # row-gather the candidate windows instead of dynamic_slice:
+            # at 100M-slot scale XLA's layout assignment re-lays the
+            # dynamic_slice OPERAND into a lane-padded u8 tile — an 18.4 GB
+            # copy of a 9.2 GB codes array that OOMs a 16 GB chip. Gather
+            # operands keep their layout (no copy); the gather's lower
+            # bandwidth only prices the windows actually touched.
+            rows = start_c[:, None] + slot_iota[None, :s_eff]  # [bc, s]
+            win = jnp.take(codes, rows, axis=0)  # [bc, s, m] uint8
+            pen = jnp.take(penalty_arr, rows, axis=0)
+        else:
+            win = jnp.stack([
+                jax.lax.dynamic_slice(codes, (start_c[i], 0), (s_eff, m))
+                for i in range(block_chunk)])  # [bc, s, m] uint8
+            pen = jnp.stack([
+                jax.lax.dynamic_slice(penalty_arr, (start_c[i],), (s_eff,))
+                for i in range(block_chunk)])
         in_cell = ((slot_iota[None, :s_eff] >= off[:, None])
                    & (slot_iota[None, :s_eff] < (off + capc)[:, None]))
         pen = pen + jnp.where(in_cell, 0.0, big)
@@ -209,8 +222,16 @@ def flat_onehot_scan(query, codes, penalty, codebook, *, k, distance,
     def one(c0):
         c0c = jnp.minimum(c0, cap - chunk)
         shift = c0 - c0c
-        win = jax.lax.dynamic_slice(codes, (c0c, 0), (chunk, m))
-        pen = jax.lax.dynamic_slice(penalty, (c0c,), (chunk,))
+        if codes.nbytes > config.CODES_GATHER_BYTES:
+            # row-gather at 100M scale: XLA re-lays the dynamic_slice
+            # operand into a lane-padded u8 tile (2x copy -> OOM); gather
+            # operands keep their layout (see scan_cell_major_codes)
+            rows = c0c + jnp.arange(chunk, dtype=jnp.int32)
+            win = jnp.take(codes, rows, axis=0)
+            pen = jnp.take(penalty, rows, axis=0)
+        else:
+            win = jax.lax.dynamic_slice(codes, (c0c, 0), (chunk, m))
+            pen = jax.lax.dynamic_slice(penalty, (c0c,), (chunk,))
         pen = pen + jnp.where(jnp.arange(chunk) < shift, big, 0.0)
         oh = (win.astype(jnp.int32)[..., None]
               == cvals[None, None, :]).astype(jnp.bfloat16)
@@ -306,8 +327,16 @@ def flat_decode_scan(query, codes, penalty, codebook, *, k, distance,
     def one(c0):
         c0c = jnp.minimum(c0, cap - chunk)
         shift = c0 - c0c
-        win = jax.lax.dynamic_slice(codes, (c0c, 0), (chunk, m))
-        pen = jax.lax.dynamic_slice(penalty, (c0c,), (chunk,))
+        if codes.nbytes > config.CODES_GATHER_BYTES:
+            # row-gather at 100M scale: XLA re-lays the dynamic_slice
+            # operand into a lane-padded u8 tile (2x copy -> OOM); gather
+            # operands keep their layout (see scan_cell_major_codes)
+            rows = c0c + jnp.arange(chunk, dtype=jnp.int32)
+            win = jnp.take(codes, rows, axis=0)
+            pen = jnp.take(penalty, rows, axis=0)
+        else:
+            win = jax.lax.dynamic_slice(codes, (c0c, 0), (chunk, m))
+            pen = jax.lax.dynamic_slice(penalty, (c0c,), (chunk,))
         pen = pen + jnp.where(jnp.arange(chunk) < shift, big, 0.0)
         if chunk > sub:
             dec = jax.lax.map(
