@@ -52,6 +52,7 @@ def main():
     ap.add_argument("--nq", type=int, default=256)
     ap.add_argument("--train-n", type=int, default=1_000_000)
     ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--out", type=str, default="demo_100m.json")
     args = ap.parse_args()
     d, m = 128, 64
 
@@ -161,6 +162,19 @@ def main():
           f"peak {ms.get('peak_bytes_in_use', 0) / 1e9:.2f} GB)",
           flush=True)
 
+    # pack codes rows into full 128-lane tiles (donated reshape, zero copy):
+    # without this, the first search re-lays the 9.2 GB u8[*, 64] codes into
+    # an 18.4 GB lane-padded tile and the compile itself OOMs the chip
+    try:
+        index.freeze_codes()
+        print(f"[100m] codes frozen for serving: "
+              f"storage {tuple(index._storage.shape)}", flush=True)
+    except Exception as e:  # the pack is a copy until storage is written
+        # packed at ingest (XLA offers no zero-copy re-view of a live
+        # buffer); past ~half-HBM codes the demo serves via the gather path
+        print(f"[100m] freeze_codes unavailable at this scale: "
+              f"{str(e)[:120]}", flush=True)
+
     results = {"n": args.n, "d": d, "m": m, "n_cells": args.n_cells,
                "mode": "code_domain", "nq": args.nq, "k": args.k,
                "device": jax.local_devices()[0].device_kind,
@@ -169,7 +183,7 @@ def main():
                "entries": []}
     qj = queries.T
     path = os.path.join(os.path.dirname(__file__), "..", "benchmark",
-                        "results", "demo_100m.json")
+                        "results", args.out)
 
     def _flush():
         # write after every row: a wall-clock-killed run still leaves the
@@ -180,14 +194,17 @@ def main():
     _flush()
     # pin the scan per row (sweep.py-style honesty): probed points run the
     # probed one-hot scan, the flat decode-on-the-fly sweep is its own row
-    for n_probe in (1, 8, 32, "flat"):
+    # cheap rows first (np=1, flat) so a wall-clock kill still leaves served
+    # points; the one-hot probed scan's FLOPs grow ~linearly in n_probe
+    # (m*nc-wide contraction per probed window), so np=8/32 go last, 1 rep
+    for n_probe in (1, "flat", 8, 32):
         if n_probe == "flat":
             index.scan_mode = "flat"
             reps = 1  # whole-storage decode; one rep is plenty at 100M
         else:
             index.scan_mode = "cell_major"
             index.n_probe = n_probe
-            reps = 3
+            reps = 3 if n_probe == 1 else 1
         vals, pred = index.search(qj, k=args.k)
         jax.block_until_ready(vals)
         t0 = time.perf_counter()

@@ -184,3 +184,44 @@ def test_gather_windows_path_matches_slice_path(rng, monkeypatch):
     np.testing.assert_array_equal(np.asarray(af_g), np.asarray(af_s))
     np.testing.assert_allclose(np.asarray(vf_g), np.asarray(vf_s),
                                rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("distance", ["euclidean", "inner"])
+def test_frozen_codes_search_matches_unfrozen(rng, distance):
+    """freeze_codes packs storage rows into 128-lane tiles (the 100M-scale
+    serving layout — any read of u8 [cap, m<128] storage otherwise re-lays
+    the whole array into a lane-padded copy). Results must be identical,
+    probed and flat, and mutation must be blocked while frozen."""
+    index, x = _built(rng, n=2000, cache="none", distance=distance)  # g=16
+    nq, k = 16, 8
+    q = jnp.asarray(rng.normal(size=(nq, 32)).astype(np.float32)).T
+    index.n_probe = 4
+    index.scan_mode = "cell_major"
+    v0, i0 = index.search(q, k=k)
+    index.scan_mode = "flat"
+    vf0, if0 = index.search(q, k=k)
+
+    index.freeze_codes()
+    assert index._frozen_codes
+    assert index._storage.shape[1] == 128
+    index.scan_mode = "cell_major"
+    v1, i1 = index.search(q, k=k)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i0))
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v0),
+                               rtol=1e-5, atol=1e-5)
+    index.scan_mode = "flat"
+    vf1, if1 = index.search(q, k=k)
+    np.testing.assert_array_equal(np.asarray(if1), np.asarray(if0))
+    np.testing.assert_allclose(np.asarray(vf1), np.asarray(vf0),
+                               rtol=1e-5, atol=1e-5)
+
+    with pytest.raises(RuntimeError):
+        index.add(q)
+    with pytest.raises(RuntimeError):
+        index.remove(ids=jnp.arange(4))
+
+    index.unfreeze_codes()
+    assert not index._frozen_codes
+    index.scan_mode = "cell_major"
+    v2, i2 = index.search(q, k=k)
+    np.testing.assert_array_equal(np.asarray(i2), np.asarray(i0))

@@ -161,6 +161,23 @@ def _write_rows(out, block, c0):
     return jax.lax.dynamic_update_slice(out, block, (c0, 0))
 
 
+@functools.partial(jax.jit, donate_argnums=0)
+def _pack_codes(codes):
+    """[cap, m] u8 -> [cap/g, g*m] (g = 128//m): a donated pure reshape XLA
+    aliases in place — the ONLY way to re-view multi-GB codes, since any
+    copy (padded or compact) busts a 16 GB chip at the 100M demo's 9.2 GB
+    (see ops/onehot_adc._packing for the measured layout facts)."""
+    cap, m = codes.shape
+    g = 128 // m
+    return codes.reshape(cap // g, g * m)
+
+
+@functools.partial(jax.jit, static_argnames=("m",), donate_argnums=0)
+def _unpack_codes(codes, *, m):
+    capp, gm = codes.shape
+    return codes.reshape(capp * (gm // m), m)
+
+
 @functools.partial(jax.jit, static_argnames=("n_pad",))
 def _compact_codes_cache(codes, norms, is_empty, *, n_pad):
     """Code-domain flavor of _compact_flat_cache: squeeze the uint8 codes
@@ -173,9 +190,10 @@ def _compact_codes_cache(codes, norms, is_empty, *, n_pad):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "distance", "approx", "precision"))
+    jax.jit, static_argnames=("k", "distance", "approx", "precision", "m"))
 def _search_flat_codes(q, codes, norms, is_empty, addr_map, address2id,
-                       codebook, *, k, distance, approx, precision=None):
+                       codebook, *, k, distance, approx, precision=None,
+                       m=None):
     """Flat-mode query path over raw codes (scan_cache_dtype='none'):
     exhaustive decode-on-the-fly MXU sweep + address translation. Manhattan
     rides the one-hot LUT sweep instead (exact per-subvector L1 decomposes
@@ -187,11 +205,11 @@ def _search_flat_codes(q, codes, norms, is_empty, addr_map, address2id,
     if canonical_distance(distance) == "manhattan":
         vals, addr = flat_onehot_scan(q, codes, penalty, codebook, k=k,
                                       distance=distance, approx=approx,
-                                      precision=precision)
+                                      precision=precision, m=m)
     else:
         vals, addr = flat_decode_scan(q, codes, penalty, codebook, k=k,
                                       distance=distance, approx=approx,
-                                      precision=precision)
+                                      precision=precision, m=m)
     if addr_map is not None:
         addr = jnp.where(addr >= 0, addr_map[jnp.maximum(addr, 0)], -1)
     ids = jnp.where(addr >= 0, address2id[jnp.maximum(addr, 0)], -1)
@@ -201,11 +219,11 @@ def _search_flat_codes(q, codes, norms, is_empty, addr_map, address2id,
 @functools.partial(
     jax.jit,
     static_argnames=("k", "n_probe", "use_smart", "precision", "distance",
-                     "s_max", "n_cells", "approx"))
+                     "s_max", "n_cells", "approx", "m"))
 def _search_full_codes(q, coarse_codebook, codes, norms, is_empty,
                        cell_start, cell_capacity, address2id, pq_codebook,
                        temperature, *, k, n_probe, use_smart, precision,
-                       distance, s_max, n_cells, approx):
+                       distance, s_max, n_cells, approx, m=None):
     """Fused code-domain query path: coarse + probe + one-hot cell-major
     scan + id translation (scan_cache_dtype='none')."""
     from ..ops.onehot_adc import scan_cell_major_codes
@@ -215,7 +233,7 @@ def _search_full_codes(q, coarse_codebook, codes, norms, is_empty,
     vals, addr = scan_cell_major_codes(
         q, cells, mask, codes, norms, is_empty, cell_start, cell_capacity,
         pq_codebook, k=k, distance=distance, s_max=s_max, n_cells=n_cells,
-        approx=approx, precision=precision)
+        approx=approx, precision=precision, m=m)
     ids = jnp.where(addr >= 0, address2id[jnp.maximum(addr, 0)], -1)
     return vals, ids, addr
 
@@ -348,6 +366,7 @@ class IVFPQIndex(CellContainer):
         # (ops/onehot_adc.py). m B/slot of scan memory (the reference's
         # exact contract) + 4 B/slot norms, at ~m*256/d x the scoring FLOPs.
         self._code_domain = str(cache_dtype) == "none"
+        self._frozen_codes = False  # see freeze_codes()
         assert not (self._code_domain and pq_use_residual), \
             "scan_cache_dtype='none' does not support pq_use_residual yet " \
             "(the per-cell centroid term is not in the code LUT)"
@@ -642,7 +661,49 @@ class IVFPQIndex(CellContainer):
             int(self.spill_capacity))
         return out
 
+    def freeze_codes(self):
+        """Pack raw-codes storage to [cap/g, 128] rows for copy-free serving.
+
+        Code-domain (scan_cache_dtype='none') only. At 100M-slot scale XLA
+        re-lays any read of the u8 [cap, m<128] storage into a lane-padded
+        whole-array copy — 2x 9.2 GB, an instant OOM on one 16 GB chip. The
+        packed view's minor dim is a full 128-lane tile, which all three
+        scan fetch paths slice with zero copy; the repack itself is a
+        donated reshape (aliased, no copy). Mutations (add/remove) are
+        blocked until unfreeze_codes(). No-op when m >= 128 or m does not
+        divide 128. Reference memory contract this preserves:
+        torchpq/kernels/cuda/ivfpq_topk.cu:650-679 (m B/slot)."""
+        if not self._code_domain:
+            raise ValueError("freeze_codes is for scan_cache_dtype='none'")
+        if self._frozen_codes:
+            return
+        cap, m = self._storage.shape
+        g = 128 // m if (m < 128 and 128 % m == 0) else 1
+        if g == 1 or cap % g:
+            return
+        self._codes_m = int(m)
+        self._storage = _pack_codes(self._storage)
+        self._frozen_codes = True
+
+    def unfreeze_codes(self):
+        """Undo freeze_codes (donated reshape back; re-enables mutation)."""
+        if self._frozen_codes:
+            self._storage = _unpack_codes(self._storage, m=self._codes_m)
+            self._frozen_codes = False
+
+    def _assert_unfrozen(self, what):
+        if self._frozen_codes:
+            raise RuntimeError(
+                f"{what} on a frozen code-domain index — call "
+                "unfreeze_codes() first (freeze_codes packs storage rows "
+                "for copy-free serving)")
+
+    def remove(self, ids=None, address=None):
+        self._assert_unfrozen("remove")
+        return super().remove(ids=ids, address=address)
+
     def add(self, x, ids=None, return_address=False):
+        self._assert_unfrozen("add")
         x = jnp.asarray(x).astype(jnp.float32)
         assert x.shape[0] == self.d_vector
         assert self.is_trained, "train the index first"
@@ -882,13 +943,27 @@ class IVFPQIndex(CellContainer):
             # code domain serves two plans: the one-hot cell-major scan and
             # the one-hot decode-on-the-fly flat sweep (auto-planned above
             # with the code-domain cost model, or explicitly requested).
+            m_packed = self._codes_m if self._frozen_codes else None
             if mode == "flat":
-                codes_c, nrm_c, emp_c, amap_c = self._flat_compacted_codes()
-                vals, ids, addr = _search_flat_codes(
-                    q, codes_c, nrm_c, emp_c, amap_c, self._address2id,
-                    self._scan_codebook, k=int(k),
-                    distance=self.distance, approx=self._use_approx_topk,
-                    precision=precision)
+                if self._frozen_codes:
+                    # frozen serving: no compaction copy (at 100M scale a
+                    # compaction gather IS the padded-copy OOM); dead slots
+                    # ride the penalty stream instead
+                    vals, ids, addr = _search_flat_codes(
+                        q, self._storage, self.aux("norm")[:, 0],
+                        self._is_empty, None, self._address2id,
+                        self._scan_codebook, k=int(k),
+                        distance=self.distance,
+                        approx=self._use_approx_topk,
+                        precision=precision, m=m_packed)
+                else:
+                    codes_c, nrm_c, emp_c, amap_c = \
+                        self._flat_compacted_codes()
+                    vals, ids, addr = _search_flat_codes(
+                        q, codes_c, nrm_c, emp_c, amap_c, self._address2id,
+                        self._scan_codebook, k=int(k),
+                        distance=self.distance,
+                        approx=self._use_approx_topk, precision=precision)
             else:
                 vals, ids, addr = _search_full_codes(
                     q, self.vq_codec.kmeans._centroids[0], self._storage,
@@ -899,7 +974,8 @@ class IVFPQIndex(CellContainer):
                     k=int(k), n_probe=n_probe,
                     use_smart=self._use_smart_probing, precision=precision,
                     distance=self.distance, s_max=self.max_cell_capacity,
-                    n_cells=self.n_cells, approx=self._use_approx_topk)
+                    n_cells=self.n_cells, approx=self._use_approx_topk,
+                    m=m_packed)
             if return_address:
                 return vals, ids, addr
             return vals, ids

@@ -69,14 +69,32 @@ def build_scan_lut(query, codebook, distance, precision=None):
                       preferred_element_type=jnp.float32)
 
 
+def _packing(codes, m):
+    """Resolve the (g, m, cap_total) of a possibly lane-packed codes array.
+
+    At 100M-slot scale the u8 [cap, m] codes CANNOT be touched as-is: XLA
+    re-lays any gather/slice operand whose minor dim is under one 128-lane
+    tile into a padded copy (2x a 9.2 GB array -> compile-time OOM on a
+    16 GB chip; measured, see ARCHITECTURE.md). The serving fix is to hand
+    the scan codes already reshaped to [cap/g, g*m] with g = 128//m — a
+    full-tile minor dim that XLA fetches with ZERO copy (dynamic_slice temp
+    = one window). `m` is passed statically by the caller when packed;
+    rows stay fetchable because cell starts are 16-aligned (g | 16)."""
+    if m is None or m == codes.shape[1]:
+        return 1, codes.shape[1], codes.shape[0]
+    g = codes.shape[1] // m
+    assert codes.shape[1] == g * m and 16 % g == 0, (codes.shape, m)
+    return g, m, codes.shape[0] * g
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("k", "distance", "s_max", "n_cells", "p_tile",
-                     "block_chunk", "approx", "precision", "k_pair"))
+                     "block_chunk", "approx", "precision", "k_pair", "m"))
 def scan_cell_major_codes(query, cells, probe_mask, codes, norms, is_empty,
                           cell_start, cell_capacity, codebook, *, k, distance,
                           s_max, n_cells, p_tile=128, block_chunk=8,
-                          approx=False, precision=None, k_pair=None):
+                          approx=False, precision=None, k_pair=None, m=None):
     """Cell-major scan over raw uint8 codes (no decoded cache).
 
     Identical contract to adc.scan_cell_major, but the candidate side reads
@@ -92,8 +110,7 @@ def scan_cell_major_codes(query, cells, probe_mask, codes, norms, is_empty,
     distance = canonical_distance(distance)
     nq, n_probe = cells.shape
     n_pairs = nq * n_probe
-    m = codes.shape[1]
-    cap_total = codes.shape[0]
+    g, m, cap_total = _packing(codes, m)
 
     if k_pair is None:
         if approx and k > 16:
@@ -118,6 +135,7 @@ def scan_cell_major_codes(query, cells, probe_mask, codes, norms, is_empty,
         penalty_arr = jnp.where(is_empty, big, 0.0)
     slot_iota = jnp.arange(s_max, dtype=jnp.int32)
     s_eff = min(s_max, cap_total)
+    assert s_eff % g == 0, (s_eff, g)
     start_c_all = jnp.clip(start_all, 0, cap_total - s_eff)
     off_all = start_all - start_c_all
 
@@ -139,7 +157,18 @@ def scan_cell_major_codes(query, cells, probe_mask, codes, norms, is_empty,
         # well); materializing all B tiles up front would be B x p x m*nc
         # bf16 = tens of GB
         lut_t = lut_flat[qidx]  # [bc, p, m*nc]
-        if gather_windows:
+        if g > 1:
+            # packed codes: full-128-lane rows slice copy-free at any scale
+            # (the whole reason _packing exists); cell starts are 16-aligned
+            # and g | 16, so start_c // g loses nothing
+            win = jnp.stack([
+                jax.lax.dynamic_slice(
+                    codes, (start_c[i] // g, 0), (s_eff // g, g * m))
+                for i in range(block_chunk)]).reshape(block_chunk, s_eff, m)
+            pen = jnp.stack([
+                jax.lax.dynamic_slice(penalty_arr, (start_c[i],), (s_eff,))
+                for i in range(block_chunk)])
+        elif gather_windows:
             # row-gather the candidate windows instead of dynamic_slice:
             # at 100M-slot scale XLA's layout assignment re-lays the
             # dynamic_slice OPERAND into a lane-padded u8 tile — an 18.4 GB
@@ -196,9 +225,9 @@ def scan_cell_major_codes(query, cells, probe_mask, codes, norms, is_empty,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "distance", "chunk", "approx", "precision"))
+    static_argnames=("k", "distance", "chunk", "approx", "precision", "m"))
 def flat_onehot_scan(query, codes, penalty, codebook, *, k, distance,
-                     chunk=16384, approx=True, precision=None):
+                     chunk=16384, approx=True, precision=None, m=None):
     """Exhaustive code-domain sweep: LUT [nq, m*nc] @ one-hot codes chunks.
 
     The code-domain analog of flat_adc_scan — same chunk + approx-top-k +
@@ -209,8 +238,9 @@ def flat_onehot_scan(query, codes, penalty, codebook, *, k, distance,
     """
     distance = canonical_distance(distance)
     nq = query.shape[0]
-    cap, m = codes.shape
+    g, m, cap = _packing(codes, m)
     chunk = min(chunk, cap)
+    chunk -= chunk % g or 0
     big = jnp.float32(jnp.finfo(jnp.float32).max / 4)
     lut = build_scan_lut(query, codebook, distance, precision)
     nc = lut.shape[-1]
@@ -222,7 +252,13 @@ def flat_onehot_scan(query, codes, penalty, codebook, *, k, distance,
     def one(c0):
         c0c = jnp.minimum(c0, cap - chunk)
         shift = c0 - c0c
-        if codes.nbytes > config.CODES_GATHER_BYTES:
+        if g > 1:
+            # packed codes (see _packing): copy-free slice at any scale
+            win = jax.lax.dynamic_slice(
+                codes, (c0c // g, 0), (chunk // g, g * m)
+            ).reshape(chunk, m)
+            pen = jax.lax.dynamic_slice(penalty, (c0c,), (chunk,))
+        elif codes.nbytes > config.CODES_GATHER_BYTES:
             # row-gather at 100M scale: XLA re-lays the dynamic_slice
             # operand into a lane-padded u8 tile (2x copy -> OOM); gather
             # operands keep their layout (see scan_cell_major_codes)
@@ -287,9 +323,11 @@ def blockdiag_codebook(codebook):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "distance", "chunk", "sub", "approx", "precision"))
+    static_argnames=("k", "distance", "chunk", "sub", "approx", "precision",
+                     "m"))
 def flat_decode_scan(query, codes, penalty, codebook, *, k, distance,
-                     chunk=65536, sub=8192, approx=True, precision=None):
+                     chunk=65536, sub=8192, approx=True, precision=None,
+                     m=None):
     """Exhaustive code-domain sweep via decode-on-the-fly chunks.
 
     Per chunk: decode the codes ONCE on the MXU (one-hot @ block-diagonal
@@ -305,9 +343,10 @@ def flat_decode_scan(query, codes, penalty, codebook, *, k, distance,
     distance = canonical_distance(distance)
     assert distance != "manhattan", "manhattan: use flat_onehot_scan"
     nq, d = query.shape
-    cap, m = codes.shape
+    g, m, cap = _packing(codes, m)
     chunk = min(chunk, cap)
     sub = min(sub, chunk)
+    sub -= sub % g
     chunk = (chunk // sub) * sub
     big = jnp.float32(jnp.finfo(jnp.float32).max / 4)
     nc = codebook.shape[1]
@@ -327,7 +366,13 @@ def flat_decode_scan(query, codes, penalty, codebook, *, k, distance,
     def one(c0):
         c0c = jnp.minimum(c0, cap - chunk)
         shift = c0 - c0c
-        if codes.nbytes > config.CODES_GATHER_BYTES:
+        if g > 1:
+            # packed codes (see _packing): copy-free slice at any scale
+            win = jax.lax.dynamic_slice(
+                codes, (c0c // g, 0), (chunk // g, g * m)
+            ).reshape(chunk, m)
+            pen = jax.lax.dynamic_slice(penalty, (c0c,), (chunk,))
+        elif codes.nbytes > config.CODES_GATHER_BYTES:
             # row-gather at 100M scale: XLA re-lays the dynamic_slice
             # operand into a lane-padded u8 tile (2x copy -> OOM); gather
             # operands keep their layout (see scan_cell_major_codes)
