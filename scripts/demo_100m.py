@@ -193,24 +193,34 @@ def main():
 
     _flush()
     # pin the scan per row (sweep.py-style honesty): probed points run the
-    # probed one-hot scan, the flat decode-on-the-fly sweep is its own row
-    # cheap rows first (np=1, flat) so a wall-clock kill still leaves served
-    # points; the one-hot probed scan's FLOPs grow ~linearly in n_probe
-    # (m*nc-wide contraction per probed window), so np=8/32 go last, 1 rep
-    for n_probe in (1, "flat", 8, 32):
-        if n_probe == "flat":
-            index.scan_mode = "flat"
-            reps = 1  # whole-storage decode; one rep is plenty at 100M
-        else:
-            index.scan_mode = "cell_major"
-            index.n_probe = n_probe
-            reps = 3 if n_probe == 1 else 1
-        vals, pred = index.search(qj, k=args.k)
-        jax.block_until_ready(vals)
-        t0 = time.perf_counter()
-        for _ in range(reps):
+    # probed cell-major codes scan (Pallas kernel when the gate passes —
+    # recorded per row), the flat decode-on-the-fly sweep is its own row.
+    # The VERDICT deliverable rows (np=1/8/32) run FIRST; the flat sweep
+    # goes last and is exception-guarded — at 100M it is the riskiest
+    # program and must not erase the probed results if it OOMs.
+    from torchpq_tpu.ops import adc
+    for n_probe in (1, 8, 32, "flat"):
+        try:
+            if n_probe == "flat":
+                index.scan_mode = "flat"
+                reps = 1  # whole-storage decode; one rep is plenty at 100M
+            else:
+                index.scan_mode = "cell_major"
+                index.n_probe = n_probe
+                reps = 3 if n_probe == 1 else 1
             vals, pred = index.search(qj, k=args.k)
-        jax.block_until_ready(vals)
+            jax.block_until_ready(vals)
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                vals, pred = index.search(qj, k=args.k)
+            jax.block_until_ready(vals)
+        except Exception as e:
+            out = {"n": args.n, "n_probe": n_probe,
+                   "status": f"failed: {str(e)[:200]}"}
+            print(json.dumps(out), flush=True)
+            results["entries"].append(out)
+            _flush()
+            continue
         dt = (time.perf_counter() - t0) / reps
         pred = np.asarray(pred)
         rec = float(np.mean([len(set(pred[i]) & set(gt[i])) / args.k
@@ -218,6 +228,7 @@ def main():
         out = {"n": args.n, "n_probe": n_probe, "qps": round(args.nq / dt),
                "recall@10": round(rec, 4), "ms_per_batch": round(dt * 1e3, 1),
                "nq": args.nq, "mode": "code_domain", "hbm_gb": hbm_gb,
+               "scan_gate": dict(adc.LAST_GATE),
                "train_s": round(train_s, 1), "ingest_s": round(add_s, 1)}
         print(json.dumps(out), flush=True)
         results["entries"].append(out)

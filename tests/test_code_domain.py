@@ -27,6 +27,13 @@ def _built(rng, n=1500, d=32, m=8, n_cells=8, cache="float32",
     return index, x
 
 
+def _m(index):
+    """Static code width to hand the scan ops when the index's storage is
+    in the packed-at-ingest [cap/g, g*m] layout (auto-on for eligible
+    code-domain indexes since round 4)."""
+    return index.code_size if index.pack_group > 1 else None
+
+
 @pytest.mark.parametrize("distance", ["euclidean", "inner", "manhattan"])
 def test_code_scan_matches_decoded_scan(rng, distance):
     index, x = _built(rng, distance=distance)
@@ -71,9 +78,10 @@ def test_flat_decode_matches_onehot_sweep(rng, distance):
                     norms if distance == "euclidean" else 0.0)
     cb = index.pq_codec.codebook_internal
     v_o, a_o = flat_onehot_scan(q, index._storage, pen, cb, k=k,
-                                distance=distance, approx=False)
+                                distance=distance, approx=False, m=_m(index))
     v_d, a_d = flat_decode_scan(q, index._storage, pen, cb, k=k,
-                                distance=distance, approx=False, sub=512)
+                                distance=distance, approx=False, sub=512,
+                                m=_m(index))
     a_o, a_d = np.asarray(a_o), np.asarray(a_d)
     overlap = np.mean([len(set(a_o[i]) & set(a_d[i])) / k
                        for i in range(nq)])
@@ -131,7 +139,7 @@ def test_code_domain_relayout_and_saveload(rng, tmp_path):
     assert index.capacity > cap0, "must exercise the norm-only rebuilder"
     # norms rebuilt from codes: spot-check live rows
     live = np.flatnonzero(~np.asarray(index._is_empty))[:128]
-    dec = np.asarray(index.pq_codec.decode_nd(index._storage[live]))
+    dec = np.asarray(index.pq_codec.decode_nd(index.storage_rows(live)))
     np.testing.assert_allclose(
         np.asarray(index.aux("norm")[live, 0]),
         (dec ** 2).sum(-1), rtol=1e-4, atol=1e-4)

@@ -131,3 +131,35 @@ def test_1m_bench_shape_probed_rows_need_pinning():
     for np_ in (8, 32, 64):
         index.n_probe = np_
         assert index.plan_scan_mode(BIG_NQ, 10) == "flat"
+
+
+def test_scan_gate_stable_across_n_probe_axis(rng):
+    """The resolved scan impl must not flip along the n_probe axis of a
+    sweep: the r3 class sweep's np=4/k=100 point silently ran XLA at 2.4x
+    the latency because the default k_pair (4*ceil(k/np)) crossed the
+    Pallas gate's 64 ceiling at small n_probe. The k_pair policy now caps
+    at 64 (measured recall-flat 64 -> 100); this pins the invariant."""
+    import jax.numpy as jnp
+    from torchpq_tpu.index.ivfpq import _coarse_probe
+    from torchpq_tpu.ops import adc
+    d = 32
+    x = rng.normal(size=(3000, d)).astype(np.float32)
+    index = IVFPQIndex(d_vector=d, n_subvectors=8, n_cells=8,
+                       scan_cache_dtype="float32", initial_size=64)
+    index.train(jnp.asarray(x.T))
+    index.add(jnp.asarray(x.T))
+    q = jnp.asarray(rng.normal(size=(8, d)).astype(np.float32))
+    impls = {}
+    for n_probe in (1, 2, 4, 8):
+        _, cells, mask = _coarse_probe(
+            q, index.vq_codec.kmeans._centroids[0], jnp.float32(30.0),
+            n_probe=n_probe, use_smart=False, precision=None)
+        adc.scan_cell_major(
+            q, cells, mask, index.aux("decoded"), index.aux("norm")[:, 0],
+            index._is_empty, index._cell_start, index._cell_capacity,
+            k=100, distance="euclidean", s_max=index.max_cell_capacity,
+            n_cells=8, approx=True, impl="auto", interpret=True)
+        impls[n_probe] = (adc.LAST_GATE["impl"], adc.LAST_GATE["k_pair"])
+    assert all(v[1] <= 64 for v in impls.values()), impls
+    assert len({v[0] for v in impls.values()}) == 1, \
+        f"scan impl flips along the n_probe axis: {impls}"

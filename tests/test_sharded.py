@@ -294,6 +294,11 @@ def test_sharded_code_domain_matches_single_device(rng):
     index.n_probe = 8
     index.use_smart_probing = False
     index.scan_mode = "cell_major"
+    # pin the XLA one-hot impl: the sharded per-shard scan runs it (shards
+    # are unpacked), and this test asserts SHARDING equality — the Pallas
+    # codes kernel's decode-then-score rounding differs at bf16 lsb and is
+    # parity-tested separately (tests/test_pallas_codes_scan.py)
+    index.scan_impl = "xla"
     q = x[:32]
     v1, i1 = index.search(jnp.asarray(q.T), k=5)
     searcher = ShardedIVFPQSearcher(index, mesh=get_mesh(8))

@@ -61,16 +61,31 @@ def _find_write_addresses(is_empty, cell_start, cells, ioa, valid):
     return jnp.where(valid, addr, cap)      # invalid -> dropped
 
 
-@functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4))
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4),
+                   static_argnames=("pack_g",))
 def _cell_add(storage, address2id, id2address, is_empty, cell_size,
-              cell_start, data, cells, ids, valid):
-    """Scatter a batch into its cells. cells: [b] i32, valid: [b] bool."""
-    cap = storage.shape[0]
+              cell_start, data, cells, ids, valid, *, pack_g=1):
+    """Scatter a batch into its cells. cells: [b] i32, valid: [b] bool.
+
+    pack_g > 1: storage is the lane-packed [cap/g, g*code_size] uint8 layout
+    (see IVFPQIndex packed-at-ingest, ARCHITECTURE.md "layout wall") — each
+    item's code_size bytes scatter element-wise into its packed row at byte
+    offset (addr % g) * code_size. XLA scatter WRITES never trigger the
+    u8 lane-padding re-lay that reads do, so ingest stays copy-free at any
+    scale while the minor dim stays a full 128-lane tile for the scans."""
+    cap = is_empty.shape[0]
     n_cells = cell_start.shape[0]
     ioa = _compute_ioa(cells, valid, cell_start)
     addr = _find_write_addresses(is_empty, cell_start, cells, ioa, valid)
 
-    storage = storage.at[addr].set(data, mode="drop")
+    if pack_g > 1:
+        m = data.shape[1]
+        rr = addr // pack_g  # invalid addr == cap -> row cap//g, dropped
+        cc = ((addr % pack_g)[:, None] * m
+              + jnp.arange(m, dtype=jnp.int32)[None, :])
+        storage = storage.at[rr[:, None], cc].set(data, mode="drop")
+    else:
+        storage = storage.at[addr].set(data, mode="drop")
     address2id = address2id.at[addr].set(ids, mode="drop")
     is_empty = is_empty.at[addr].set(False, mode="drop")
     id2address = id2address.at[
@@ -131,11 +146,34 @@ def _relayout_gather(old_rows, old_start, old_cap_arr, new_start, new_cap_total,
     return rows
 
 
+@functools.partial(jax.jit, static_argnums=(4, 5))
+def _relayout_gather_packed(old_packed, old_start, old_cap_arr, new_start,
+                            new_rows, pack_g):
+    """Packed-storage relayout: a pure ROW gather on [cap/g, g*m] rows.
+
+    Every packed row holds g consecutive slots of ONE cell (cell starts and
+    capacities are multiples of 16 and g | 16), and slot offsets within a
+    cell are preserved by relayout — so new packed row j (covering slots
+    [j*g, (j+1)*g) of cell c at offset o = j*g - new_start[c]) is exactly
+    old packed row (old_start[c] + o) // g, or zeros past the old capacity.
+    The gather's operand AND output have full 128-lane minor dims, so no
+    layout padding fires at any scale (ARCHITECTURE.md layout-wall table)."""
+    j = jnp.arange(new_rows, dtype=jnp.int32)
+    slot0 = j * pack_g
+    c = (jnp.searchsorted(new_start, slot0, side="right") - 1) \
+        .astype(jnp.int32)
+    o = slot0 - new_start[c]
+    in_old = o < old_cap_arr[c]
+    src = jnp.where(in_old, (old_start[c] + o) // pack_g, 0)
+    rows = old_packed[src]
+    return jnp.where(in_old[:, None], rows, 0)
+
+
 class CellContainer(BaseContainer):
     def __init__(self, code_size, n_cells, dtype="float32", device=None,
                  initial_size=None, expand_step_size=1024,
                  expand_mode="double", use_inverse_id_mapping=True,
-                 contiguous_size=1, verbose=0):
+                 contiguous_size=1, verbose=0, pack_group=1):
         del device, contiguous_size  # CUDA-isms accepted for API parity
         if initial_size is None:
             initial_size = max(expand_step_size // max(n_cells, 1), 16)
@@ -151,11 +189,23 @@ class CellContainer(BaseContainer):
         self.code_size = int(code_size)
         self.n_cells = int(n_cells)
         self.dtype = util.str2dtype(dtype)
+        # pack_group g > 1: storage is [capacity/g, g*code_size] — g
+        # consecutive slots share one row whose byte width is a full
+        # 128-lane tile. This is the PACKED-AT-INGEST layout the 100M-scale
+        # code-domain serving needs (any XLA *read* of a u8 array with a
+        # sub-128 minor dim re-lays the whole array into a 2x lane-padded
+        # copy; see ARCHITECTURE.md "layout wall"). g must divide 16 so a
+        # packed row never spans a cell boundary (cell starts are
+        # 16-aligned).
+        assert pack_group in (1, 2, 4, 8, 16), pack_group
+        self.pack_group = int(pack_group)
         cap = per_cell * n_cells
         self._capacity = cap
         self.register_state("_address2id", jnp.full((cap,), -1, util.id_dtype()))
         self.register_state(
-            "_storage", jnp.zeros((cap, self.code_size), self.dtype))
+            "_storage", jnp.zeros((cap // self.pack_group,
+                                   self.pack_group * self.code_size),
+                                  self.dtype))
         self.register_state(
             "_cell_start",
             (jnp.arange(n_cells, dtype=jnp.int32) * per_cell))
@@ -231,13 +281,26 @@ class CellContainer(BaseContainer):
         return _find_write_addresses(
             self._is_empty, self._cell_start, cells, jnp.asarray(ioa), valid)
 
+    def storage_rows(self, address):
+        """Slot rows [n, code_size] at the given (pre-validated, in-range)
+        addresses, independent of the pack_group layout."""
+        address = jnp.asarray(address)
+        g = self.pack_group
+        if g == 1:
+            return self._storage[address]
+        rows = self._storage[address // g]  # [n, g*m]
+        rows = rows.reshape(rows.shape[0], g, self.code_size)
+        sub = jnp.take_along_axis(
+            rows, (address % g)[:, None, None].astype(jnp.int32), axis=1)
+        return sub[:, 0, :]
+
     def get_data_by_address(self, address):
         """[n] -> [code_size, n] reference layout; zeros for empty/invalid."""
         address = jnp.asarray(address)
         valid = (address >= 0) & (address < self._capacity)
         safe = jnp.where(valid, address, 0)
         valid = valid & ~self._is_empty[safe]
-        rows = self._storage[safe]
+        rows = self.storage_rows(safe)
         rows = jnp.where(valid[:, None], rows, 0)
         return rows.T
 
@@ -245,10 +308,19 @@ class CellContainer(BaseContainer):
         address = jnp.asarray(address)
         valid = (address >= 0) & (address < self._capacity)
         tgt = jnp.where(valid, address, self._capacity)
-        self.register_state(
-            "_storage",
-            self._storage.at[tgt].set(
-                jnp.asarray(data).T.astype(self.dtype), mode="drop"))
+        rows = jnp.asarray(data).T.astype(self.dtype)
+        g = self.pack_group
+        if g > 1:
+            m = self.code_size
+            rr = tgt // g
+            cc = ((tgt % g)[:, None] * m
+                  + jnp.arange(m, dtype=jnp.int32)[None, :])
+            self.register_state(
+                "_storage",
+                self._storage.at[rr[:, None], cc].set(rows, mode="drop"))
+        else:
+            self.register_state(
+                "_storage", self._storage.at[tgt].set(rows, mode="drop"))
         self._mutations += 1
 
     def get_data_by_id(self, ids):
@@ -301,7 +373,8 @@ class CellContainer(BaseContainer):
             aux_dtypes = {name: self.aux(name).dtype
                           for name in self._aux if name not in rebuild}
             self.register_state("_storage", jnp.zeros(
-                (new_total,) + self._storage.shape[1:], self._storage.dtype))
+                (new_total // self.pack_group,) + self._storage.shape[1:],
+                self._storage.dtype))
             self.register_state("_address2id", jnp.full(
                 (new_total,), -1, self._address2id.dtype))
             self.register_state("_is_empty", jnp.ones((new_total,), bool))
@@ -309,8 +382,14 @@ class CellContainer(BaseContainer):
                 self.register_state("_aux_" + name, jnp.zeros(
                     (new_total,) + aux_shapes[name], aux_dtypes[name]))
         else:
-            self.register_state("_storage", _relayout_gather(
-                self._storage, old_start, old_caps, new_start, new_total, 0))
+            if self.pack_group > 1:
+                self.register_state("_storage", _relayout_gather_packed(
+                    self._storage, old_start, old_caps, new_start,
+                    new_total // self.pack_group, self.pack_group))
+            else:
+                self.register_state("_storage", _relayout_gather(
+                    self._storage, old_start, old_caps, new_start, new_total,
+                    0))
             self.register_state("_address2id", _relayout_gather(
                 self._address2id, old_start, old_caps, new_start, new_total,
                 -1))
@@ -381,7 +460,7 @@ class CellContainer(BaseContainer):
         st, a2i, i2a, emp, csz, addr = _cell_add(
             self._storage, self._address2id, self._id2address,
             self._is_empty, self._cell_size, self._cell_start,
-            rows, cellsj, idsj, valid)
+            rows, cellsj, idsj, valid, pack_g=self.pack_group)
         self.register_state("_storage", st)
         self.register_state("_address2id", a2i)
         self.register_state("_id2address", i2a)
@@ -457,3 +536,6 @@ class CellContainer(BaseContainer):
         self._cell_size_np = np.asarray(self._cell_size, dtype=np.int64)
         self._cell_capacity_np = np.asarray(self._cell_capacity,
                                             dtype=np.int64)
+        # self-healing pack_group: derive the packed layout from the loaded
+        # storage width so checkpoints round-trip across construction args
+        self.pack_group = int(self._storage.shape[1]) // self.code_size

@@ -25,12 +25,13 @@ class IVFPQTopk:
     def topk(self, query, cells, probe_mask, decoded, norms, is_empty,
              cell_start, cell_capacity, *, k, distance, s_max, scales=None,
              mode=None, approx=None, impl="xla", group=1, precision=None,
-             pq_codebook=None, probe_cap=None):
+             pq_codebook=None, probe_cap=None, m=None):
         """Returns (values [nq, k] f32, addresses [nq, k] i32; -1 padding).
         mode/approx default to the instance settings; impl/group/precision
         pass through to the cell-major scan. When `decoded` is the raw uint8
         codes (scan_cache_dtype='none'), pass `pq_codebook` to route through
-        the one-hot code-domain scan."""
+        the code-domain scan (`m` = per-slot code width when the codes are
+        in the packed-at-ingest [cap/g, g*m] layout)."""
         nq = query.shape[0]
         mode = mode or self.mode
         assert mode in ("auto", "query_major", "cell_major", "flat"), mode
@@ -41,7 +42,8 @@ class IVFPQTopk:
                 query, cells, probe_mask, decoded, norms, is_empty,
                 cell_start, cell_capacity, pq_codebook, k=k,
                 distance=distance, s_max=s_max, n_cells=self.n_cells,
-                p_tile=self.p_tile, approx=approx, precision=precision)
+                p_tile=self.p_tile, approx=approx, precision=precision,
+                m=m, impl=impl)
         if mode in ("auto", "flat"):
             mode = "query_major" if nq < self.batch_threshold else "cell_major"
         if scales is not None:

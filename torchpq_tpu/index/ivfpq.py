@@ -126,18 +126,23 @@ def _compact_flat_cache(decoded, norms, is_empty, scales, *, n_pad):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("chunk", "int8", "out_dtype", "residual"))
+    jax.jit, static_argnames=("chunk", "int8", "out_dtype", "residual",
+                              "pack_g"))
 def _cache_chunk(storage, cell_start, pq_codebook, vq_rows, c0, *, chunk,
                  int8, out_dtype, residual, rerank_storage=None,
-                 rr_codebook=None):
+                 rr_codebook=None, pack_g=1):
     """Recompute one [chunk, d] block of the decoded scan cache from the
     canonical uint8 codes (inner step of the relayout aux rebuilder).
     c0 is clamped by the caller; overlapping rows recompute identically.
     When rerank codes exist (IVFPQR with a decoded cache), the cache rows
-    are the FULL two-stage reconstruction — see index/ivfpqr.py."""
+    are the FULL two-stage reconstruction — see index/ivfpqr.py.
+    pack_g > 1: storage is the packed-at-ingest [cap/g, g*m] layout; the
+    slice stays g-aligned (c0 and chunk are multiples of 16, g | 16)."""
     from ..codec.pq import _decode_nd
     m, _, dsub = pq_codebook.shape
-    codes = jax.lax.dynamic_slice(storage, (c0, 0), (chunk, storage.shape[1]))
+    codes = jax.lax.dynamic_slice(
+        storage, (c0 // pack_g, 0), (chunk // pack_g, storage.shape[1])
+    ).reshape(chunk, storage.shape[1] // pack_g)
     dec = _decode_nd(codes, pq_codebook, m=m, dsub=dsub)
     if residual:
         idx = c0 + jnp.arange(chunk)
@@ -172,21 +177,26 @@ def _pack_codes(codes):
     return codes.reshape(cap // g, g * m)
 
 
-@functools.partial(jax.jit, static_argnames=("m",), donate_argnums=0)
-def _unpack_codes(codes, *, m):
-    capp, gm = codes.shape
-    return codes.reshape(capp * (gm // m), m)
-
-
-@functools.partial(jax.jit, static_argnames=("n_pad",))
-def _compact_codes_cache(codes, norms, is_empty, *, n_pad):
+@functools.partial(jax.jit, static_argnames=("n_pad", "pack_g"))
+def _compact_codes_cache(codes, norms, is_empty, *, n_pad, pack_g=1):
     """Code-domain flavor of _compact_flat_cache: squeeze the uint8 codes
-    + norms down to live rows for the flat one-hot sweep."""
+    + norms down to live rows for the flat one-hot sweep. pack_g > 1 reads
+    the packed-at-ingest layout; the compact output is UNPACKED [n_pad, m]
+    (only built when small — the caller gates by storage bytes, since a
+    sub-128-lane u8 gather output pays the 2x lane-padding tax)."""
     addr_map = jnp.nonzero(~is_empty, size=n_pad, fill_value=-1)[0] \
         .astype(jnp.int32)
     valid = addr_map >= 0
     safe = jnp.maximum(addr_map, 0)
-    return codes[safe], norms[safe], ~valid, addr_map
+    if pack_g > 1:
+        m = codes.shape[1] // pack_g
+        rows = codes[safe // pack_g].reshape(n_pad, pack_g, m)
+        out = jnp.take_along_axis(
+            rows, (safe % pack_g)[:, None, None].astype(jnp.int32),
+            axis=1)[:, 0]
+    else:
+        out = codes[safe]
+    return out, norms[safe], ~valid, addr_map
 
 
 @functools.partial(
@@ -219,13 +229,15 @@ def _search_flat_codes(q, codes, norms, is_empty, addr_map, address2id,
 @functools.partial(
     jax.jit,
     static_argnames=("k", "n_probe", "use_smart", "precision", "distance",
-                     "s_max", "n_cells", "approx", "m"))
+                     "s_max", "n_cells", "approx", "m", "impl"))
 def _search_full_codes(q, coarse_codebook, codes, norms, is_empty,
                        cell_start, cell_capacity, address2id, pq_codebook,
                        temperature, *, k, n_probe, use_smart, precision,
-                       distance, s_max, n_cells, approx, m=None):
-    """Fused code-domain query path: coarse + probe + one-hot cell-major
-    scan + id translation (scan_cache_dtype='none')."""
+                       distance, s_max, n_cells, approx, m=None,
+                       impl="auto"):
+    """Fused code-domain query path: coarse + probe + cell-major codes
+    scan (Pallas decode-in-kernel or XLA one-hot, gated like the decoded
+    scan) + id translation (scan_cache_dtype='none')."""
     from ..ops.onehot_adc import scan_cell_major_codes
     _, cells, mask = _coarse_probe(
         q, coarse_codebook, temperature, n_probe=n_probe,
@@ -233,7 +245,7 @@ def _search_full_codes(q, coarse_codebook, codes, norms, is_empty,
     vals, addr = scan_cell_major_codes(
         q, cells, mask, codes, norms, is_empty, cell_start, cell_capacity,
         pq_codebook, k=k, distance=distance, s_max=s_max, n_cells=n_cells,
-        approx=approx, precision=precision, m=m)
+        approx=approx, precision=precision, m=m, impl=impl)
     ids = jnp.where(addr >= 0, address2id[jnp.maximum(addr, 0)], -1)
     return vals, ids, addr
 
@@ -303,7 +315,8 @@ class IVFPQIndex(CellContainer):
                  expand_mode="double", distance="euclidean", device=None,
                  pq_use_residual=False, verbose=0,
                  scan_cache_dtype=None, scan_mode="auto", n_bits=8, seed=0,
-                 anisotropic_eta=None, anisotropic_iters=8):
+                 anisotropic_eta=None, anisotropic_iters=8,
+                 pack_ingest=None):
         assert d_vector % n_subvectors == 0
         assert n_bits in (4, 8), "n_bits must be 4 or 8"
         if n_bits == 4:
@@ -317,11 +330,30 @@ class IVFPQIndex(CellContainer):
         if initial_size is None:
             initial_size = expand_step_size
         code_bytes = n_subvectors // 2 if n_bits == 4 else n_subvectors
+        # packed-at-ingest storage for the code-domain (capacity) tier:
+        # codes are WRITTEN into [cap/g, g*m] rows (g = 128//m, a full
+        # 128-lane minor dim), so the multi-GB u8 store is copy-free for
+        # every read at any scale — no post-hoc freeze_codes() repack
+        # needed (the repack transiently copies, capping it at ~half-HBM;
+        # ARCHITECTURE.md "layout wall"). Eligible when m | 128 and m >= 8
+        # (g must divide 16 so a packed row never spans a 16-aligned cell
+        # start). pack_ingest: None = auto, False = force legacy unpacked.
+        _code_domain = str(scan_cache_dtype
+                           or config.SCAN_CACHE_DTYPE) == "none"
+        _eligible = (code_bytes >= 8 and code_bytes < 128
+                     and 128 % code_bytes == 0)
+        if pack_ingest is None:
+            pack_ingest = _code_domain and _eligible
+        elif pack_ingest:
+            assert _code_domain and _eligible, \
+                "pack_ingest requires scan_cache_dtype='none' and " \
+                "8 <= code bytes < 128 dividing 128"
         super().__init__(
             code_size=code_bytes, n_cells=n_cells, dtype="uint8",
             device=device, initial_size=initial_size,
             expand_step_size=expand_step_size, expand_mode=expand_mode,
-            use_inverse_id_mapping=True, contiguous_size=4, verbose=verbose)
+            use_inverse_id_mapping=True, contiguous_size=4, verbose=verbose,
+            pack_group=128 // code_bytes if pack_ingest else 1)
         self.d_vector = d_vector
         self.n_subvectors = n_subvectors
         self.d_subvector = d_vector // n_subvectors
@@ -366,7 +398,11 @@ class IVFPQIndex(CellContainer):
         # (ops/onehot_adc.py). m B/slot of scan memory (the reference's
         # exact contract) + 4 B/slot norms, at ~m*256/d x the scoring FLOPs.
         self._code_domain = str(cache_dtype) == "none"
-        self._frozen_codes = False  # see freeze_codes()
+        # _frozen_codes is REGISTERED state: a frozen index must round-trip
+        # save/load with mutation still blocked (ADVICE r3 #2). The packed
+        # layout itself self-heals on load: CellContainer._after_load
+        # re-derives pack_group from the stored row width.
+        self.register_state("_frozen_codes", False)  # see freeze_codes()
         assert not (self._code_domain and pq_use_residual), \
             "scan_cache_dtype='none' does not support pq_use_residual yet " \
             "(the per-cell centroid term is not in the code LUT)"
@@ -446,7 +482,8 @@ class IVFPQIndex(CellContainer):
                 self._scan_codebook, vq_rows, c0, chunk=chunk,
                 int8=self._int8_cache, out_dtype=dec_dt,
                 residual=self.pq_use_residual,
-                rerank_storage=rr_store, rr_codebook=rr_cb)
+                rerank_storage=rr_store, rr_codebook=rr_cb,
+                pack_g=self.pack_group)
             if dec is not None:
                 dec = _write_rows(dec, util.pad_cols(db, d), c0)
             nrm = _write_rows(nrm, nb, c0)
@@ -670,26 +707,39 @@ class IVFPQIndex(CellContainer):
         packed view's minor dim is a full 128-lane tile, which all three
         scan fetch paths slice with zero copy; the repack itself is a
         donated reshape (aliased, no copy). Mutations (add/remove) are
-        blocked until unfreeze_codes(). No-op when m >= 128 or m does not
-        divide 128. Reference memory contract this preserves:
+        blocked until unfreeze_codes().
+
+        Since round 4 eligible indexes pack AT INGEST (pack_ingest auto-on:
+        the container itself keeps the [cap/g, g*m] layout, so there is no
+        multi-GB transient repack at all) and freeze is a pure flag flip
+        that blocks mutation. On a legacy unpacked index this performs the
+        donated-reshape migration to the packed layout. No-op when m >= 128,
+        m does not divide 128, or m < 8 (g must divide 16 so a packed row
+        never spans a 16-aligned cell start — ADVICE r3 #1). Reference
+        memory contract preserved either way:
         torchpq/kernels/cuda/ivfpq_topk.cu:650-679 (m B/slot)."""
         if not self._code_domain:
             raise ValueError("freeze_codes is for scan_cache_dtype='none'")
         if self._frozen_codes:
             return
-        cap, m = self._storage.shape
-        g = 128 // m if (m < 128 and 128 % m == 0) else 1
-        if g == 1 or cap % g:
+        m = self.code_size
+        g = 128 // m if (8 <= m < 128 and 128 % m == 0) else 1
+        if g == 1 or self._capacity % g:
             return
-        self._codes_m = int(m)
-        self._storage = _pack_codes(self._storage)
+        if self.pack_group == 1:
+            # legacy unpacked storage: [cap, m] -> [cap/g, g*m] groups g
+            # consecutive slots per row — exactly the packed-at-ingest
+            # layout, so every pack_group code path now applies
+            self.register_state("_storage", _pack_codes(self._storage))
+            self.pack_group = g
+            self._mutations += 1  # invalidate layout-derived caches
         self._frozen_codes = True
 
     def unfreeze_codes(self):
-        """Undo freeze_codes (donated reshape back; re-enables mutation)."""
-        if self._frozen_codes:
-            self._storage = _unpack_codes(self._storage, m=self._codes_m)
-            self._frozen_codes = False
+        """Re-enable mutation. Storage STAYS packed: since round 4 the
+        container mutates [cap/g, g*m] rows natively (CellContainer
+        pack_group), so unfreezing is a flag flip, not an unpack copy."""
+        self._frozen_codes = False
 
     def _assert_unfrozen(self, what):
         if self._frozen_codes:
@@ -759,7 +809,9 @@ class IVFPQIndex(CellContainer):
             impl=self.scan_impl, group=self.scan_group, precision=precision,
             pq_codebook=(self._scan_codebook
                          if self._code_domain else None),
-            probe_cap=self._resolved_probe_cap(cells.shape[1]))
+            probe_cap=self._resolved_probe_cap(cells.shape[1]),
+            m=(self.code_size if self._code_domain and self.pack_group > 1
+               else None))
         ids = self.get_id_by_address(addr)
         ids = jnp.where(addr >= 0, ids, -1)
         if return_address:
@@ -767,21 +819,32 @@ class IVFPQIndex(CellContainer):
         return vals, ids
 
     def _flat_compacted_codes(self):
-        """(codes, norms, is_empty, addr_map) with dead slots squeezed out —
-        the code-domain flat sweep's input (scan_cache_dtype='none')."""
+        """(codes, norms, is_empty, addr_map, m_packed) with dead slots
+        squeezed out — the code-domain flat sweep's input
+        (scan_cache_dtype='none'). m_packed is the per-slot code width when
+        `codes` is returned in the packed [cap/g, g*m] layout (compaction
+        skipped), None when codes are unpacked [n_pad, m] rows.
+
+        Compaction is skipped when the storage is packed AND large: the
+        compaction gather's unpacked u8 output would itself pay the 2x
+        lane-padding re-lay (at the 100M demo's 9.2 GB that IS the OOM) —
+        dead slots ride the penalty stream instead."""
         ver = self._mutations
         if (self._flat_cache is not None and self._flat_cache[0] == ver):
             return self._flat_cache[1]
+        g = self.pack_group
+        m_packed = self.code_size if g > 1 else None
         n = max(int(self.n_items), 1)
         unit = 131072 if n > 131072 else 2048
         n_pad = util.round_up(n, unit)
-        if n_pad >= self.capacity:
+        big = self._storage.nbytes > (1 << 30)
+        if n_pad >= self.capacity or (g > 1 and big):
             res = (self._storage, self.aux("norm")[:, 0], self._is_empty,
-                   None)
+                   None, m_packed)
         else:
             res = _compact_codes_cache(
                 self._storage, self.aux("norm")[:, 0], self._is_empty,
-                n_pad=n_pad)
+                n_pad=n_pad, pack_g=g) + (None,)
         self._flat_cache = (ver, res)
         return res
 
@@ -943,27 +1006,16 @@ class IVFPQIndex(CellContainer):
             # code domain serves two plans: the one-hot cell-major scan and
             # the one-hot decode-on-the-fly flat sweep (auto-planned above
             # with the code-domain cost model, or explicitly requested).
-            m_packed = self._codes_m if self._frozen_codes else None
+            m_packed = self.code_size if self.pack_group > 1 else None
             if mode == "flat":
-                if self._frozen_codes:
-                    # frozen serving: no compaction copy (at 100M scale a
-                    # compaction gather IS the padded-copy OOM); dead slots
-                    # ride the penalty stream instead
-                    vals, ids, addr = _search_flat_codes(
-                        q, self._storage, self.aux("norm")[:, 0],
-                        self._is_empty, None, self._address2id,
-                        self._scan_codebook, k=int(k),
-                        distance=self.distance,
-                        approx=self._use_approx_topk,
-                        precision=precision, m=m_packed)
-                else:
-                    codes_c, nrm_c, emp_c, amap_c = \
-                        self._flat_compacted_codes()
-                    vals, ids, addr = _search_flat_codes(
-                        q, codes_c, nrm_c, emp_c, amap_c, self._address2id,
-                        self._scan_codebook, k=int(k),
-                        distance=self.distance,
-                        approx=self._use_approx_topk, precision=precision)
+                codes_c, nrm_c, emp_c, amap_c, m_c = \
+                    self._flat_compacted_codes()
+                vals, ids, addr = _search_flat_codes(
+                    q, codes_c, nrm_c, emp_c, amap_c, self._address2id,
+                    self._scan_codebook, k=int(k),
+                    distance=self.distance,
+                    approx=self._use_approx_topk, precision=precision,
+                    m=m_c)
             else:
                 vals, ids, addr = _search_full_codes(
                     q, self.vq_codec.kmeans._centroids[0], self._storage,
@@ -975,7 +1027,7 @@ class IVFPQIndex(CellContainer):
                     use_smart=self._use_smart_probing, precision=precision,
                     distance=self.distance, s_max=self.max_cell_capacity,
                     n_cells=self.n_cells, approx=self._use_approx_topk,
-                    m=m_packed)
+                    m=m_packed, impl=self.scan_impl)
             if return_address:
                 return vals, ids, addr
             return vals, ids
@@ -1040,7 +1092,8 @@ class IVFPQIndex(CellContainer):
         valid = valid & ~self._is_empty[safe]
         if self._code_domain:
             # no cache: decode the few requested rows from their codes
-            y = self._decode_stored(self._storage[safe])
+            # (storage_rows handles the packed-at-ingest layout)
+            y = self._decode_stored(self.storage_rows(safe))
         else:
             y = self.aux("decoded")[safe].astype(jnp.float32)
         if self._int8_cache:

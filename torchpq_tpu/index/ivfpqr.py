@@ -76,19 +76,26 @@ def _rerank_correct(q, vals_b, cand_addr, rerank_codes, dnorm2, rr_codebook,
 
 @functools.partial(
     jax.jit, static_argnames=("k", "distance", "residual", "m", "dsub",
-                              "mr", "dsubr"))
+                              "mr", "dsubr", "pack_g"))
 def _rerank_from_codes(q, cand_addr, storage, rerank_codes, cell_start,
                        pq_codebook, rr_codebook, vq_rows, is_empty, *, k,
-                       distance, residual, m, dsub, mr, dsubr):
+                       distance, residual, m, dsub, mr, dsubr, pack_g=1):
     """Full-decode shortlist rescore (manhattan only — L1 does not decompose
     into a per-slot correction): decode base + rerank codes on the fly and
-    rescore with _block_scores."""
+    rescore with _block_scores. pack_g > 1: storage is the packed-at-ingest
+    [cap/g, g*m] layout (index/ivfpq.py)."""
     valid = cand_addr >= 0
     safe = jnp.where(valid, cand_addr, 0)           # [nq, k']
     nq, kp = cand_addr.shape
     flat = safe.reshape(-1)
     valid = valid & ~is_empty[safe]
-    codes = storage[flat]                           # [nq*k', m] uint8
+    if pack_g > 1:
+        rows = storage[flat // pack_g].reshape(flat.shape[0], pack_g, m)
+        codes = jnp.take_along_axis(
+            rows, (flat % pack_g)[:, None, None].astype(jnp.int32),
+            axis=1)[:, 0]                           # [nq*k', m] uint8
+    else:
+        codes = storage[flat]                       # [nq*k', m] uint8
     rcodes = rerank_codes[flat]                     # [nq*k', mr] uint8
     dec = _decode_nd(codes, pq_codebook, m=m, dsub=dsub, fast=True)
     if residual:
@@ -152,13 +159,13 @@ class IVFPQRIndex(IVFPQIndex):
             _, nb, _ = _cache_chunk(
                 self._storage, self._cell_start, self._scan_codebook,
                 None, c0, chunk=chunk, int8=False, out_dtype=jnp.bfloat16,
-                residual=self.pq_use_residual)
+                residual=self.pq_use_residual, pack_g=self.pack_group)
             _, nb2, _ = _cache_chunk(
                 self._storage, self._cell_start, self._scan_codebook,
                 None, c0, chunk=chunk, int8=False, out_dtype=jnp.bfloat16,
                 residual=self.pq_use_residual,
                 rerank_storage=self.aux("rerank_codes"),
-                rr_codebook=rr.codebook_internal)
+                rr_codebook=rr.codebook_internal, pack_g=self.pack_group)
             nrm = _write_rows(nrm, nb, c0)
             dn = _write_rows(dn, nb2 - nb, c0)
         return {"norm": nrm, "dnorm2": dn}
@@ -246,7 +253,8 @@ class IVFPQRIndex(IVFPQIndex):
                 k=int(k), distance=self.distance,
                 residual=self.pq_use_residual,
                 m=int(ms), dsub=int(dsubs),
-                mr=rr.n_subvectors, dsubr=rr.d_subvector)
+                mr=rr.n_subvectors, dsubr=rr.d_subvector,
+                pack_g=self.pack_group)
         else:
             vals, addr = _rerank_correct(
                 q, vals_b, cand_addr, self.aux("rerank_codes"),

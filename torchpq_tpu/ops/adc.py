@@ -531,12 +531,26 @@ def scan_cell_major(query, cells, probe_mask, decoded, norms, is_empty,
             [super_start, jnp.array([cap_total_], super_start.dtype)]))
         sup = jnp.where(probe_mask, cells // group, n_super)
         # rank-preserving first-occurrence dedup (two probed cells may
-        # share a supercell): an [np, np] strict-lower compare per row —
-        # np <= 128 keeps it VPU-trivial — instead of the old value-sort,
-        # so surviving entries keep their coarse rank order
-        prior = jnp.tril(jnp.ones((n_probe, n_probe), bool), k=-1)
-        dup = jnp.any((sup[:, :, None] == sup[:, None, :]) & prior[None],
-                      axis=-1)
+        # share a supercell), so surviving entries keep their coarse rank
+        if n_probe <= 128:
+            # [np, np] strict-lower compare per row — VPU-trivial at this
+            # width, no sort
+            prior = jnp.tril(jnp.ones((n_probe, n_probe), bool), k=-1)
+            dup = jnp.any((sup[:, :, None] == sup[:, None, :]) & prior[None],
+                          axis=-1)
+        else:
+            # large n_probe: the quadratic intermediate ([nq, np, np])
+            # would dominate — stable value-sort instead. Stable argsort
+            # keeps equal values in original (rank) order, so the first
+            # element of each equal run IS the first occurrence by rank;
+            # unsort the run-start mask back to probe positions.
+            order = jnp.argsort(sup, axis=1, stable=True)
+            s_sorted = jnp.take_along_axis(sup, order, axis=1)
+            dup_sorted = jnp.concatenate(
+                [jnp.zeros((sup.shape[0], 1), bool),
+                 s_sorted[:, 1:] == s_sorted[:, :-1]], axis=1)
+            inv = jnp.argsort(order, axis=1)
+            dup = jnp.take_along_axis(dup_sorted, inv, axis=1)
         cells = jnp.where(dup, n_super, sup).astype(jnp.int32)
         probe_mask = cells < n_super
         if probe_cap is not None and probe_cap < n_probe:
@@ -573,11 +587,13 @@ def scan_cell_major(query, cells, probe_mask, decoded, norms, is_empty,
     # too greedy (the best probed cell often holds tens of winners); 64 is
     # the knee and costs nothing vs 100 (99 vs 110 ms). Callers chasing
     # speed at large k can pass k_pair explicitly.
+    # Ceiling 64 (not just floor): k_pair > 64 fails the Pallas kernel gate,
+    # silently flipping the scan to XLA mid-curve — the r3 class sweep's
+    # np=4/k=100 69.4k q/s anomaly (np in {1,2,4} ran XLA at 2.4x the
+    # latency because 4*ceil(k/np) crossed 64, np >= 8 ran the kernel).
+    # Free by the measurement above: recall@100 is flat 64 -> 100.
     if k_pair is None:
-        if approx and k > 64:
-            k_pair = min(k, max(64, 4 * util.cdiv(k, n_probe)))
-        else:
-            k_pair = k
+        k_pair = 64 if (approx and k > 64) else k
     k_pair = min(k_pair, k, s_max, decoded.shape[0])
     # static block budget: sum_c ceil(P_c / p_tile) <= distinct_cells + P/p_tile
     b_max = min(n_cells, n_pairs) + util.cdiv(n_pairs, p_tile)

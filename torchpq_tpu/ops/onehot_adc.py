@@ -90,22 +90,32 @@ def _packing(codes, m):
 @functools.partial(
     jax.jit,
     static_argnames=("k", "distance", "s_max", "n_cells", "p_tile",
-                     "block_chunk", "approx", "precision", "k_pair", "m"))
+                     "block_chunk", "approx", "precision", "k_pair", "m",
+                     "impl", "interpret"))
 def scan_cell_major_codes(query, cells, probe_mask, codes, norms, is_empty,
                           cell_start, cell_capacity, codebook, *, k, distance,
                           s_max, n_cells, p_tile=128, block_chunk=8,
-                          approx=False, precision=None, k_pair=None, m=None):
+                          approx=False, precision=None, k_pair=None, m=None,
+                          impl="auto", interpret=False):
     """Cell-major scan over raw uint8 codes (no decoded cache).
 
     Identical contract to adc.scan_cell_major, but the candidate side reads
-    codes [cap, m] uint8 (m B/slot of HBM traffic — the window DMA is 2d/m x
-    smaller than the decoded scan's) and scores each block as
+    codes at m B/slot of HBM traffic — the window fetch is 2d/m x smaller
+    than the decoded scan's. Two implementations (impl gate, recorded in
+    adc.LAST_GATE like the decoded scan's):
 
-        LUT_tile [p, m*nc] @ onehot(codes window) [s, m*nc]^T
+      * Pallas (ops/pallas_codes_scan.py — packed storage only): DMA the
+        packed [s/g, 128] u8 window, decode it in VMEM against a resident
+        block-diagonal codebook (s*m*nc*d MACs shared by the whole block),
+        and score + select exactly like the decoded-cache kernel
+        (s*d*p MACs). For d == p_tile this does ~half the one-hot path's
+        MXU work and none of its per-block LUT-tile traffic.
 
-    on the MXU. LUT rows are gathered per block from the [nq, m*nc] bf16
-    table (wide rows gather well); the one-hot is built by a vectorized
-    compare and never leaves the fused matmul's operand stream.
+      * XLA fallback: score each block as
+        LUT_tile [p, m*nc] @ onehot(codes window) [s, m*nc]^T on the MXU
+        (s*m*nc*p MACs). LUT rows are gathered per block from the
+        [nq, m*nc] bf16 table — 2*p*m*nc B/block of gather traffic, the
+        measured bottleneck of this path.
     """
     distance = canonical_distance(distance)
     nq, n_probe = cells.shape
@@ -114,7 +124,10 @@ def scan_cell_major_codes(query, cells, probe_mask, codes, norms, is_empty,
 
     if k_pair is None:
         if approx and k > 16:
-            k_pair = min(k, max(16, 4 * util.cdiv(k, n_probe)))
+            # 64-ceiling mirrors ops/adc.py: k_pair > 64 would flip the
+            # Pallas codes kernel off mid-curve (gate-stability invariant,
+            # pinned by tests/test_planner.py)
+            k_pair = min(k, max(16, 4 * util.cdiv(k, n_probe)), 64)
         else:
             k_pair = k
     k_pair = min(k_pair, k, s_max, cap_total)
@@ -140,11 +153,83 @@ def scan_cell_major_codes(query, cells, probe_mask, codes, norms, is_empty,
     off_all = start_all - start_c_all
 
     s_pow2 = util.next_pow2(s_eff)
-    pack32 = approx and s_pow2 <= 4096
+    # pack32 slot bits: the codes kernel tolerates 8192 (13 truncated value
+    # bits still leave ~10 mantissa bits — above bf16 scoring noise); the
+    # XLA path keeps the decoded scan's 4096 bound
+    pack32 = approx and s_pow2 <= 8192
     slot_mask = s_pow2 - 1
     key_neg_big = _f32_sortable_i32(-big) & jnp.int32(~slot_mask)
     # see one_chunk: big codes flip the window fetch to row-gather
     gather_windows = codes.nbytes > config.CODES_GATHER_BYTES
+
+    from .pallas_codes_scan import (scan_blocks_pallas_codes,
+                                    PALLAS_BDIAG_VMEM_BYTES)
+    interpret = interpret or config.PALLAS_INTERPRET
+    dsub = codebook.shape[-1]
+    d = m * dsub
+    d_pad = util.round_up(d, 128) if d > 128 else d
+    bps = 4
+    while bps > 1 and 2 * bps * (s_eff // g) * 128 > (1 << 22):
+        bps //= 2
+    use_pallas = (
+        impl in ("pallas", "auto") and distance != "manhattan"
+        and k_pair <= 64
+        # packed full-lane storage is the kernel's DMA contract (the
+        # interpreter honors it too — the kernel reads [cap/g, 128] rows)
+        and g * m == 128 and codes.shape[1] == 128
+        and (d_pad % 128 == 0 or interpret)
+        # the resident decode matrix must fit VMEM next to the pipeline
+        and m * 256 * d_pad * 2 <= PALLAS_BDIAG_VMEM_BYTES
+        and (not approx or (pack32 and (s_eff % 128 == 0
+                                        or (s_pow2 == s_eff
+                                            and s_eff < 128)))))
+    if not use_pallas:
+        pack32 = approx and s_pow2 <= 4096
+    from .adc import LAST_GATE
+    LAST_GATE.clear()
+    LAST_GATE.update(impl="pallas_codes" if use_pallas else "xla_onehot",
+                     k_pair=k_pair, s_eff=s_eff, d=d, bps=bps,
+                     pack32=pack32, cache="codes", m=m, g=g)
+    if impl == "pallas" and not use_pallas:
+        import warnings
+        warnings.warn(
+            "scan_cell_major_codes: impl='pallas' requested but the gate "
+            f"fails (k_pair={k_pair}<=64? dist={distance}!=manhattan? "
+            f"packed g*m={g * m}==128? d_pad={d_pad}%128==0? bdiag "
+            f"{m * 256 * d_pad * 2}B <= {PALLAS_BDIAG_VMEM_BYTES}B? approx "
+            f"needs pow2 s_eff<=8192, got {s_eff}) — falling back to XLA",
+            stacklevel=2)
+
+    if use_pallas:
+        bdiag = blockdiag_codebook(codebook).astype(jnp.bfloat16)
+        if d_pad > d:
+            bdiag = jnp.pad(bdiag, ((0, 0), (0, d_pad - d)))
+        # penalty rows: same 16-aligned row gather as ops/adc.py's staging
+        pen16 = penalty_arr.reshape(-1, 16)
+        rows16 = (start_c_all[:, None] // 16
+                  + jnp.arange(s_eff // 16, dtype=jnp.int32)[None, :])
+        pen_all = pen16[rows16].reshape(b_max, s_eff)
+        in_cell = ((slot_iota[None, :s_eff] >= off_all[:, None])
+                   & (slot_iota[None, :s_eff]
+                      < (off_all + cap_all)[:, None]))
+        pen_all = pen_all + jnp.where(in_cell, 0.0, big)
+        if g > 1:
+            # deinterleave to the kernel's column order: column
+            # c = q*(s_eff/g) + r holds slot r*g + q (the kernel scores
+            # per in-row offset q and concatenates — no u8 shape cast)
+            pen_all = pen_all.reshape(b_max, s_eff // g, g) \
+                .transpose(0, 2, 1).reshape(b_max, s_eff)
+        qvecs_p = util.pad_cols(query, d_pad).astype(jnp.bfloat16)[qidx_all]
+        combo = scan_blocks_pallas_codes(
+            qvecs_p, start_c_all, pen_all, codes, bdiag,
+            s_eff=s_eff, k_pair=k_pair, p_tile=p_tile, m=m,
+            distance=distance, approx=pack32, slot_mask=slot_mask, bps=bps,
+            interpret=interpret)
+        return _merge_pairs(
+            combo, query, pair_block, pair_slot, start_c_all,
+            b_max=b_max, p_tile=p_tile, k=k, k_pair=k_pair, nq=nq,
+            n_probe=n_probe, pack32=pack32, slot_mask=slot_mask,
+            key_neg_big=key_neg_big, distance=distance, big=big)
 
     lut = build_scan_lut(query, codebook, distance, precision)
     nc = lut.shape[-1]

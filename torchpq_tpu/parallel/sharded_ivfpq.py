@@ -210,6 +210,10 @@ class ShardedIVFPQSearcher:
         # contract survives sharding; `decoded` names the scan payload)
         decoded = np.asarray(idx._storage if self._codes
                              else idx.aux("decoded"))
+        if self._codes and getattr(idx, "pack_group", 1) > 1:
+            # packed-at-ingest storage: unpack to per-slot rows on the HOST
+            # (a free numpy reshape — no XLA layout re-lay fires here)
+            decoded = decoded.reshape(-1, idx.code_size)
         norms = np.asarray(idx.aux("norm"))[:, 0]
         empty = np.asarray(idx._is_empty)
         a2i = np.asarray(idx._address2id)
