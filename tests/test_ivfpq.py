@@ -382,3 +382,23 @@ def test_probe_cap_supercell_truncation(rng):
     vals, got = index.search(jnp.asarray(q.T), k=10)
     assert np.isfinite(np.asarray(vals)[:, 0]).all()
     index.scan_probe_cap = None
+
+
+def test_scan_k_pair_override(rng):
+    """scan_k_pair pins the per-pair partial width: k_pair == k reproduces
+    the auto result exactly; a narrower k_pair is legal, shapes hold, and
+    at full probe coverage the top-1 still matches (the best candidate
+    survives any k_pair >= 1)."""
+    index, x, ids = _make_index(rng)
+    q = rng.normal(size=(6, index.d_vector)).astype(np.float32)
+    index.n_probe = index.n_cells  # full coverage: results are exact ADC
+    index.use_approx_topk = False
+    k = 12
+    v0, i0 = index.search(jnp.asarray(q.T), k=k)
+    index.scan_k_pair = k
+    v1, i1 = index.search(jnp.asarray(q.T), k=k)
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    index.scan_k_pair = 4
+    v2, i2 = index.search(jnp.asarray(q.T), k=k)
+    assert np.asarray(i2).shape == (6, k)
+    np.testing.assert_array_equal(np.asarray(i2)[:, 0], np.asarray(i0)[:, 0])

@@ -51,3 +51,35 @@ PALLAS_INTERPRET = False
 # 2x whole-array copy that OOMs the 100M single-chip demo); gather
 # operands keep their layout. Tests lower it to cover the gather path.
 CODES_GATHER_BYTES = 1 << 31
+
+
+def enable_persistent_cache(path="~/.cache/torchpq_tpu_jax",
+                            min_compile_secs=1.0):
+    """Point JAX's persistent compilation cache at a shared directory.
+
+    Called at package import: TPU compiles here run 15-60 s per program
+    over the tunnel, and a cold out-of-box index build pays ~15-30 of
+    them — the cache turns every later process's build from minutes into
+    seconds (reference cold-build parity, BASELINE.md). jax.config.update
+    only sets flags (no backend init), and the min-compile-time floor
+    keeps fast CPU test compiles from churning the directory.
+    """
+    import os
+    d = os.path.expanduser(path)
+    try:
+        # sessions explicitly pinned to CPU (tests, virtual meshes) opt
+        # out: XLA:CPU cache entries are AOT-compiled for one host's exact
+        # machine features, and this directory outlives the machine — a
+        # feature-mismatched load risks SIGILL, and CPU compiles are cheap
+        # anyway. (Reading the flag does NOT initialize a backend.)
+        if jax.config.jax_platforms == "cpu":
+            return
+        os.makedirs(d, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", d)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          float(min_compile_secs))
+    except (OSError, AttributeError):  # read-only fs / older jax: best effort
+        pass
+
+
+enable_persistent_cache()

@@ -273,12 +273,12 @@ def _search_flat(q, decoded, norms, is_empty, addr_map, address2id, *,
     jax.jit,
     static_argnames=("k", "n_probe", "use_smart", "precision", "distance",
                      "s_max", "n_cells", "mode", "approx", "impl", "group",
-                     "probe_cap"))
+                     "probe_cap", "k_pair"))
 def _search_full(q, coarse_codebook, decoded, norms, is_empty, cell_start,
                  cell_capacity, address2id, temperature, *, k, n_probe,
                  use_smart, precision, distance, s_max, n_cells, mode,
                  approx, impl="xla", group=1, scales=None, addr_map=None,
-                 probe_cap=None):
+                 probe_cap=None, k_pair=None):
     """The whole query path in one jit: coarse scoring + probing + fused
     scan + id translation. One dispatch per search call — the reference pays
     one kernel launch per stage (IVFPQIndex.py:469-524); here XLA fuses the
@@ -301,7 +301,8 @@ def _search_full(q, coarse_codebook, decoded, norms, is_empty, cell_start,
             q, cells, mask, decoded, norms, is_empty, cell_start,
             cell_capacity, k=k, distance=distance, s_max=s_max,
             n_cells=n_cells, approx=approx, impl=impl, group=group,
-            scales=scales, precision=precision, probe_cap=probe_cap)
+            scales=scales, precision=precision, probe_cap=probe_cap,
+            k_pair=k_pair)
     if addr_map is not None:
         # scanning the compacted layout: translate back to storage addresses
         addr = jnp.where(addr >= 0, addr_map[jnp.maximum(addr, 0)], -1)
@@ -391,6 +392,12 @@ class IVFPQIndex(CellContainer):
         # scan's static costs (grid, unsort, merge) by n_probe/cap —
         # the deep-k (k=100) bookkeeping lever. Approx mode only.
         self.scan_probe_cap = None
+        # per-pair partial width override (None = the scan's auto choice:
+        # k for k <= 64, else 64). Deep-k tuning surface: at small n_probe
+        # the per-cell winner count is high and k_pair is load-bearing for
+        # recall; at large n_probe a smaller k_pair cuts the select passes,
+        # unsort payload, and merge width ~linearly (ops/adc.py).
+        self.scan_k_pair = None
 
         cache_dtype = scan_cache_dtype or config.SCAN_CACHE_DTYPE
         # scan_cache_dtype="none": keep NO decoded cache — scans read the
@@ -1056,7 +1063,8 @@ class IVFPQIndex(CellContainer):
                 n_cells=self.n_cells, mode=mode,
                 approx=self._use_approx_topk, impl=self.scan_impl,
                 group=self.scan_group, scales=sc, addr_map=amap,
-                probe_cap=self._resolved_probe_cap(n_probe))
+                probe_cap=self._resolved_probe_cap(n_probe),
+                k_pair=self.scan_k_pair)
             if return_address:
                 return vals, ids, addr
             return vals, ids
@@ -1071,7 +1079,8 @@ class IVFPQIndex(CellContainer):
             approx=self._use_approx_topk, impl=self.scan_impl,
             group=self.scan_group,
             scales=self.aux("scale")[:, 0] if self._int8_cache else None,
-            probe_cap=self._resolved_probe_cap(n_probe))
+            probe_cap=self._resolved_probe_cap(n_probe),
+            k_pair=self.scan_k_pair)
         if return_address:
             return vals, ids, addr
         return vals, ids
