@@ -229,12 +229,12 @@ def _search_flat_codes(q, codes, norms, is_empty, addr_map, address2id,
 @functools.partial(
     jax.jit,
     static_argnames=("k", "n_probe", "use_smart", "precision", "distance",
-                     "s_max", "n_cells", "approx", "m", "impl"))
+                     "s_max", "n_cells", "approx", "m", "impl", "k_pair"))
 def _search_full_codes(q, coarse_codebook, codes, norms, is_empty,
                        cell_start, cell_capacity, address2id, pq_codebook,
                        temperature, *, k, n_probe, use_smart, precision,
                        distance, s_max, n_cells, approx, m=None,
-                       impl="auto"):
+                       impl="auto", k_pair=None):
     """Fused code-domain query path: coarse + probe + cell-major codes
     scan (Pallas decode-in-kernel or XLA one-hot, gated like the decoded
     scan) + id translation (scan_cache_dtype='none')."""
@@ -245,7 +245,7 @@ def _search_full_codes(q, coarse_codebook, codes, norms, is_empty,
     vals, addr = scan_cell_major_codes(
         q, cells, mask, codes, norms, is_empty, cell_start, cell_capacity,
         pq_codebook, k=k, distance=distance, s_max=s_max, n_cells=n_cells,
-        approx=approx, precision=precision, m=m, impl=impl)
+        approx=approx, precision=precision, m=m, impl=impl, k_pair=k_pair)
     ids = jnp.where(addr >= 0, address2id[jnp.maximum(addr, 0)], -1)
     return vals, ids, addr
 
@@ -1034,7 +1034,8 @@ class IVFPQIndex(CellContainer):
                     use_smart=self._use_smart_probing, precision=precision,
                     distance=self.distance, s_max=self.max_cell_capacity,
                     n_cells=self.n_cells, approx=self._use_approx_topk,
-                    m=m_packed, impl=self.scan_impl)
+                    m=m_packed, impl=self.scan_impl,
+                    k_pair=self.scan_k_pair)
             if return_address:
                 return vals, ids, addr
             return vals, ids
