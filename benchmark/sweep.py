@@ -212,6 +212,27 @@ def main():
     }
     os.makedirs(os.path.join(os.path.dirname(__file__), "results"),
                 exist_ok=True)
+    # warm re-train on a fresh identically-configured index: every program
+    # is now compiled, so this isolates COMPUTE from the cold train_s above
+    # (which includes first-process compiles — the r3 codes_flat artifact
+    # recorded a 1565.9 s "train" that was a compile storm). Entries above
+    # are untouched; this runs after all timing rows.
+    try:
+        kwargs2 = dict(kwargs)
+        if args.index == "ivfpqr":
+            warm = IVFPQRIndex(n_subvectors_rerank=args.rerank_subvectors,
+                               rerank_multiplier=args.rerank_multiplier,
+                               **kwargs2)
+        else:
+            warm = IVFPQIndex(**kwargs2)
+        t0 = time.perf_counter()
+        warm.train(jnp.asarray(learn).T)
+        jax.effects_barrier()
+        out["train_warm_s"] = round(time.perf_counter() - t0, 2)
+        del warm
+    except Exception as e:  # never lose the sweep over the warm probe
+        out["train_warm_s"] = f"failed: {str(e)[:80]}"
+
     rr = (f"r{args.rerank_subvectors}" if args.index == "ivfpqr" else "")
     path = os.path.join(os.path.dirname(__file__), "results",
                         f"ivf{args.n_cells}_pq{args.n_subvectors}{rr}"
