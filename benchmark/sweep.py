@@ -164,6 +164,14 @@ def main():
     qj = jnp.asarray(query.T)
 
     entries = []
+    # partial-row flush target (full artifact written at the end): a
+    # wall-clock-killed sweep keeps its completed rows on record
+    rr0 = (f"r{args.rerank_subvectors}" if args.index == "ivfpqr" else "")
+    _partial = os.path.join(
+        os.path.dirname(__file__), "results",
+        f"ivf{args.n_cells}_pq{args.n_subvectors}{rr0}"
+        f"{'_residual' if args.residual else ''}_{name}.partial.json")
+    os.makedirs(os.path.dirname(_partial), exist_ok=True)
     for n_probe in args.n_probes + ([] if args.skip_flat else ["flat"]):
         if n_probe == "flat":
             # exhaustive MXU sweep (ops/flat_adc.py): max-recall point
@@ -197,6 +205,9 @@ def main():
                 entry["scan_gate"] = dict(adc.LAST_GATE)
             entries.append(entry)
             print(entry, file=sys.stderr)
+            with open(_partial, "w") as f:
+                json.dump({"dataset": name, "partial": True,
+                           "entries": entries}, f, indent=1)
 
     out = {
         "dataset": name, "n_base": len(base), "d": d,
@@ -240,6 +251,10 @@ def main():
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
+    try:
+        os.remove(_partial)
+    except OSError:
+        pass
 
 
 if __name__ == "__main__":
