@@ -104,18 +104,35 @@ def test_high_d_uses_128x_even_at_deep_k():
     assert index.plan_scan_mode(BIG_NQ, 100) == "flat"
 
 
-def test_code_domain_crossover_is_512x():
-    """scan_cache_dtype='none': the probed one-hot scan vs the
-    decode-on-the-fly flat sweep — probing only pays past ~512x pruning."""
+def test_code_domain_crossover_two_regimes():
+    """scan_cache_dtype='none': the probed codes scan vs the
+    decode-on-the-fly flat sweep. With the Pallas codes kernel eligible
+    (packed storage, decode matrix fits VMEM) probing pays from ~12x
+    pruning (r4: np=32 43.3k q/s vs flat 23.0k); on the XLA one-hot
+    fallback probing needs ~512x (r3: np=32 3.6k vs flat 23k)."""
     index = _fake_scale(_make(scan_cache_dtype="none"),
                         n_items=1_000_000, s_max=1024)
+    assert index._codes_kernel_eligible()
     index.scan_mode = "auto"
     index.use_approx_topk = True
-    index.n_probe = 2
-    assert index.plan_scan_mode(BIG_NQ, 10) == "flat"
-    index.n_probe = 1
+    index.n_probe = 64   # touched 64*1024*12 = 786k < 1M: probing pays
     assert index.plan_scan_mode(BIG_NQ, 10) == "cell_major"
-    # huge-index regime (the 100M demo): probing pays
+    _fake_scale(index, n_items=1_000_000, s_max=2048)
+    index.n_probe = 64   # 64*2048*12 = 1.57M >= 1M: flat wins
+    assert index.plan_scan_mode(BIG_NQ, 10) == "flat"
+    _fake_scale(index, n_items=1_000_000, s_max=1024)
+
+    # XLA-fallback regime: manhattan fails the kernel gate -> 512x rule
+    ix2 = _fake_scale(_make(scan_cache_dtype="none", distance="manhattan"),
+                      n_items=1_000_000, s_max=1024)
+    assert not ix2._codes_kernel_eligible()
+    ix2.scan_mode = "auto"
+    ix2.use_approx_topk = True
+    ix2.n_probe = 2
+    assert ix2.plan_scan_mode(BIG_NQ, 10) == "flat"
+    ix2.n_probe = 1
+    assert ix2.plan_scan_mode(BIG_NQ, 10) == "cell_major"
+    # huge-index regime (the 100M demo): probing pays in both regimes
     _fake_scale(index, n_items=100_000_000, s_max=2048)
     index.n_probe = 32
     assert index.plan_scan_mode(BIG_NQ, 10) == "cell_major"

@@ -931,6 +931,19 @@ class IVFPQIndex(CellContainer):
         return res
 
 
+    def _codes_kernel_eligible(self):
+        """Static mirror of the Pallas codes-scan gate (ops/onehot_adc.py)
+        for the planner: packed-at-ingest storage, a supported distance,
+        and a decode matrix that fits next to the pipeline in VMEM."""
+        from ..ops.pallas_codes_scan import PALLAS_BDIAG_VMEM_BYTES
+        if self.pack_group <= 1 or self.distance == "manhattan":
+            return False
+        m = self._storage.shape[1] // self.pack_group  # packed B/slot
+        d = self.d_vector
+        d_pad = util.round_up(d, 128) if d > 128 else d
+        return (self.pack_group * m == 128
+                and m * 256 * d_pad * 2 <= PALLAS_BDIAG_VMEM_BYTES)
+
     def _resolved_probe_cap(self, n_probe):
         """Static probe_cap for this search (None disables truncation)."""
         cap = self.scan_probe_cap
@@ -978,14 +991,20 @@ class IVFPQIndex(CellContainer):
         touched = n_probe * s_pow2
         n_live = max(int(self.n_items), 1)
         if self._code_domain:
-            # the code-domain planner compares the probed one-hot scan
+            # the code-domain planner compares the probed codes scan
             # against the decode-on-the-fly flat sweep (not the dense
-            # sweep): measured on the 1M class shape the probed scan
-            # costs ~750x more per touched slot (np=32: 3.6k q/s vs
-            # flat 23k — benchmark/results/ivf4096_pq64_sift1m_codes
-            # [_flat].json), so probing only pays when it prunes by
-            # ~512x or more (e.g. the 100M single-chip demo).
-            if touched * 512 >= n_live:
+            # sweep). Two regimes, measured on the 1M class shape:
+            #   * Pallas codes kernel engaged (packed storage, resident
+            #     decode matrix fits VMEM): probing pays from ~12x
+            #     pruning — np=32 (30x) 43.3k q/s vs flat 23.0k, np=128
+            #     (7.6x) 18.8k vs 23.0k (..._sift1m_codes_r4.json, r4).
+            #   * XLA one-hot fallback (m < 8, manhattan, or d too wide
+            #     for the decode matrix, e.g. d=960 PQ64 -> 32 MB): the
+            #     probed scan costs ~750x more per touched slot (np=32:
+            #     3.6k vs flat 23k, r3), so probing needs ~512x pruning
+            #     (the 100M single-chip demo regime).
+            mult = 12 if self._codes_kernel_eligible() else 512
+            if touched * mult >= n_live:
                 mode = "flat"
         elif int(k) <= 32 or self.d_vector >= 512:
             if self._use_approx_topk and touched * 128 >= n_live:
