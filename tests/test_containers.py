@@ -194,3 +194,30 @@ class TestFlatContainerGroup:
             np.asarray(g[0].get_data_by_id(keep)), d0[:, 3:], rtol=1e-6)
         np.testing.assert_array_equal(
             np.asarray(g[1].get_data_by_id(keep)), d1[:, 3:])
+
+
+def test_packed_row_write_matches_elementwise(rng):
+    """_packed_row_write (pair-RMW row scatter) must equal the per-element
+    reference under shuffled addresses, same-row collisions, and invalid
+    (addr == cap) drops — for every supported pack group."""
+    import jax.numpy as jnp
+    from torchpq_tpu.container.cell import _packed_row_write
+
+    for g in (2, 4, 16):
+        m = 128 // g
+        n_rows, cap = 8, 8 * g
+        storage = rng.integers(0, 255, (n_rows, 128), dtype=np.uint8)
+        b = cap  # enough to hit every row multiple times
+        addr = rng.permutation(cap).astype(np.int32)
+        # make some invalid and duplicate a row collision on purpose
+        addr[::5] = cap
+        data = rng.integers(0, 255, (b, m), dtype=np.uint8)
+        ref = storage.copy()
+        for i in range(b):
+            if addr[i] == cap:
+                continue
+            rr, off = addr[i] // g, (addr[i] % g) * m
+            ref[rr, off:off + m] = data[i]
+        out = np.asarray(_packed_row_write(
+            jnp.asarray(storage), jnp.asarray(addr), jnp.asarray(data), g))
+        np.testing.assert_array_equal(out, ref, err_msg=f"g={g}")

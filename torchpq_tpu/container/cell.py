@@ -61,6 +61,51 @@ def _find_write_addresses(is_empty, cell_start, cells, ioa, valid):
     return jnp.where(valid, addr, cap)      # invalid -> dropped
 
 
+def _packed_row_write(storage, addr, data, g):
+    """Write each item's code bytes into the lane-packed [cap/g, g*m]
+    storage at slot `addr` (addr == cap drops) via pair-RMW row scatter.
+
+    A per-ELEMENT scatter here compiles an [b, m, 2] s32 index tensor
+    whose 2-wide minor dim XLA lane-pads to 128 — a 32 GB transient at
+    b=1M, m=64 (the r4 50M/100M demo failure). Rows are the TPU-correct
+    write granularity: gather the [b, row] current rows (full-lane u8
+    row gathers are layout-tax-free — ARCHITECTURE.md probe table),
+    splice each item's bytes in registers, merge same-row edits (items
+    are sorted by address, so the <= g items of one row are adjacent:
+    ceil(log2(g)) doubling passes give the LAST item of each run the
+    fully merged row), and scatter whole rows with a [b]-shaped index.
+    Slots are unique within a batch, so edits within a row are disjoint.
+    """
+    b, m = data.shape
+    n_rows = storage.shape[0]
+    order = jnp.argsort(addr)
+    a_s = addr[order].astype(jnp.int32)
+    d_s = data[order]
+    rr = a_s // g
+    off = (a_s % g) * m
+    lanes = jnp.arange(g * m, dtype=jnp.int32)[None, :]        # [1, g*m]
+    mine = (lanes >= off[:, None]) & (lanes < (off + m)[:, None])
+    rows = storage[jnp.clip(rr, 0, n_rows - 1)]                # [b, g*m]
+    idx_in_code = jnp.clip(lanes - off[:, None], 0, m - 1)
+    own = jnp.take_along_axis(d_s, idx_in_code, axis=1)
+    new = jnp.where(mine, own, rows)
+    cover = mine
+    sh = 1
+    while sh < g:
+        pad_r = jnp.full((sh,), -1, rr.dtype)
+        same = (jnp.concatenate([pad_r, rr[:-sh]]) == rr)[:, None]
+        prev_new = jnp.concatenate([new[:sh], new[:-sh]])
+        prev_cover = jnp.concatenate(
+            [jnp.zeros((sh, g * m), bool), cover[:-sh]])
+        take = same & prev_cover
+        new = jnp.where(take, prev_new, new)
+        cover = cover | take
+        sh *= 2
+    is_last = jnp.concatenate([rr[:-1] != rr[1:], jnp.ones((1,), bool)])
+    tgt = jnp.where(is_last, rr, n_rows)      # non-last / invalid: dropped
+    return storage.at[tgt].set(new, mode="drop")
+
+
 @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4),
                    static_argnames=("pack_g",))
 def _cell_add(storage, address2id, id2address, is_empty, cell_size,
@@ -68,22 +113,17 @@ def _cell_add(storage, address2id, id2address, is_empty, cell_size,
     """Scatter a batch into its cells. cells: [b] i32, valid: [b] bool.
 
     pack_g > 1: storage is the lane-packed [cap/g, g*code_size] uint8 layout
-    (see IVFPQIndex packed-at-ingest, ARCHITECTURE.md "layout wall") — each
-    item's code_size bytes scatter element-wise into its packed row at byte
-    offset (addr % g) * code_size. XLA scatter WRITES never trigger the
-    u8 lane-padding re-lay that reads do, so ingest stays copy-free at any
-    scale while the minor dim stays a full 128-lane tile for the scans."""
+    (see IVFPQIndex packed-at-ingest, ARCHITECTURE.md "layout wall") — items
+    write through the pair-RMW row scatter (_packed_row_write), so ingest
+    stays copy-free at any scale while the minor dim stays a full 128-lane
+    tile for the scans."""
     cap = is_empty.shape[0]
     n_cells = cell_start.shape[0]
     ioa = _compute_ioa(cells, valid, cell_start)
     addr = _find_write_addresses(is_empty, cell_start, cells, ioa, valid)
 
     if pack_g > 1:
-        m = data.shape[1]
-        rr = addr // pack_g  # invalid addr == cap -> row cap//g, dropped
-        cc = ((addr % pack_g)[:, None] * m
-              + jnp.arange(m, dtype=jnp.int32)[None, :])
-        storage = storage.at[rr[:, None], cc].set(data, mode="drop")
+        storage = _packed_row_write(storage, addr, data, pack_g)
     else:
         storage = storage.at[addr].set(data, mode="drop")
     address2id = address2id.at[addr].set(ids, mode="drop")
@@ -311,13 +351,9 @@ class CellContainer(BaseContainer):
         rows = jnp.asarray(data).T.astype(self.dtype)
         g = self.pack_group
         if g > 1:
-            m = self.code_size
-            rr = tgt // g
-            cc = ((tgt % g)[:, None] * m
-                  + jnp.arange(m, dtype=jnp.int32)[None, :])
             self.register_state(
                 "_storage",
-                self._storage.at[rr[:, None], cc].set(rows, mode="drop"))
+                _packed_row_write(self._storage, tgt, rows, g))
         else:
             self.register_state(
                 "_storage", self._storage.at[tgt].set(rows, mode="drop"))
