@@ -31,16 +31,22 @@ from torchpq_tpu.ops import adc
 
 
 def main():
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--initial-mult", type=int, default=3)
+    ap.add_argument("--tag", default="r4")
+    args = ap.parse_args()
     n_base, d, n_cells, m, nq, k = 1_000_000, 128, 4096, 64, 10_000, 100
     base, query = make_data(n_base, nq, d, spectrum="manifold-12")
     index = IVFPQIndex(d_vector=d, n_subvectors=m, n_cells=n_cells,
-                       initial_size=max(16, (n_base // n_cells) * 3))
+                       initial_size=max(16, (n_base // n_cells)
+                                        * args.initial_mult))
     index.use_approx_topk = True
     index.spill_cells = 8
     index.spill_capacity = index.max_cell_capacity
 
     t0 = time.perf_counter()
-    state = "/tmp/deepk_1m_state.npz"
+    state = f"/tmp/deepk_1m_state_m{args.initial_mult}.npz"
     if os.path.exists(state):
         index.load(state)
         print(f"loaded {state} in {time.perf_counter() - t0:.0f}s",
@@ -61,7 +67,7 @@ def main():
 
     rows = []
     path = os.path.join(os.path.dirname(__file__), "..", "benchmark",
-                        "results", "deepk_parity_r4.json")
+                        "results", f"deepk_parity_{args.tag}.json")
 
     def run(n_probe, group, cap, k_pair, reps=3):
         index.n_probe = n_probe
@@ -89,22 +95,20 @@ def main():
                       indent=1)
 
     for n_probe in (8, 32, 64, 128):
-        # baseline: today's recall-parity curve point (g4, no cap)
+        # baseline: the recall-parity curve point (g4, no cap)
         run(n_probe, 4, None, None)
-        # cap slack ladder: cap = s * ceil(np/g) for s in 2/3/4 (skip
-        # no-op caps >= n_probe)
-        for s in (2, 3, 4):
+        # k_pair ladder UNCAPPED: same probed set (recall cost only from
+        # per-cell partial truncation), linear bookkeeping shrink
+        for kp in (32, 48):
+            run(n_probe, 4, None, kp)
+        # cap ladder (r4a grid showed 2x slack is NOT recall-neutral at
+        # k=100 for np<=32; keep the 3x/4x points and the np=128 2x point
+        # that measured near-neutral)
+        for s in (2, 3):
             cap = s * util.cdiv(n_probe, 4)
             if cap < n_probe:
                 run(n_probe, 4, cap, None)
-        # g8 with 3x slack: bigger windows, fewer pairs
-        cap8 = 3 * util.cdiv(n_probe, 8)
-        run(n_probe, 8, cap8 if cap8 < n_probe else None, None)
-        # k_pair ladder at the g4 2x-cap point (or uncapped where cap
-        # is a no-op): select passes + unsort payload + merge width
-        cap2 = 2 * util.cdiv(n_probe, 4)
-        for kp in (32, 48):
-            run(n_probe, 4, cap2 if cap2 < n_probe else None, kp)
+                run(n_probe, 4, cap, 32)
 
     print("wrote", path, flush=True)
 
