@@ -76,6 +76,9 @@ def main():
     ap.add_argument("--probe-cap", default=None,
                     help="static probe-axis cap under grouping: 'auto', "
                          "an int, or unset (see IVFPQIndex.scan_probe_cap)")
+    ap.add_argument("--k-pair", type=int, default=None,
+                    help="explicit per-pair partial width "
+                         "(IVFPQIndex.scan_k_pair; None = auto)")
     ap.add_argument("--no-spill", action="store_true",
                     help="reference add semantics: every item in its argmax "
                          "cell (the A/B against the default bounded-cell "
@@ -119,6 +122,7 @@ def main():
     if args.probe_cap is not None:
         index.scan_probe_cap = (args.probe_cap if args.probe_cap == "auto"
                                 else int(args.probe_cap))
+    index.scan_k_pair = args.k_pair
 
     def _mem(tag):
         ms = jax.local_devices()[0].memory_stats() or {}
@@ -216,6 +220,7 @@ def main():
         "index": args.index, "n_bits": args.n_bits,
         "cache": args.cache, "spill": not args.no_spill,
         "scan_group": args.scan_group, "probe_cap": args.probe_cap,
+        "k_pair": args.k_pair,
         "initial_mult": args.initial_mult,
         "scan_impl": index.scan_impl, "s_max": int(index.max_cell_capacity),
         "train_s": round(train_s, 2), "add_s": round(add_s, 2),
