@@ -89,7 +89,7 @@ def main():
     ccap = index._cell_capacity
     s_max = int(index.max_cell_capacity)
 
-    for n_probe in (32, 64):
+    for n_probe in (8, 32, 64):
         _, cells, mask = _coarse_probe(q, cb, jnp.float32(30.0),
                                        n_probe=n_probe, use_smart=True,
                                        precision=None, approx=True)
