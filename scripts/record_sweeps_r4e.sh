@@ -18,6 +18,8 @@ PYEOF
   then break; fi
   echo "[guard] retry ($i/20)"; sleep 60
 done
+timeout 5400 env PYTHONUNBUFFERED=1 $P -u scripts/probe_100m_search.py \
+  2>&1 | tail -10 || echo "100M PROBE FAILED"
 timeout 3600 env PYTHONUNBUFFERED=1 $P -u scripts/profile_gist_stages.py \
   2>&1 | tail -40 || echo "GIST PROFILE FAILED"
 echo "QUEUE r4e DONE"
