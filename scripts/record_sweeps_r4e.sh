@@ -18,6 +18,10 @@ PYEOF
   then break; fi
   echo "[guard] retry ($i/20)"; sleep 60
 done
+env PYTHONUNBUFFERED=1 $P -u benchmark/sweep.py \
+  --n-probes 128 --ks 100 --name sift1m_deepk_kp32cap64 --initial-mult 2 \
+  --k-pair 32 --probe-cap 64 --skip-flat 2>&1 | tail -3 \
+  || echo "KP32CAP64 FAILED"
 timeout 5400 env PYTHONUNBUFFERED=1 $P -u scripts/probe_100m_search.py \
   2>&1 | tail -10 || echo "100M PROBE FAILED"
 timeout 3600 env PYTHONUNBUFFERED=1 $P -u scripts/profile_gist_stages.py \
