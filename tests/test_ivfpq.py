@@ -402,3 +402,35 @@ def test_scan_k_pair_override(rng):
     v2, i2 = index.search(jnp.asarray(q.T), k=k)
     assert np.asarray(i2).shape == (6, k)
     np.testing.assert_array_equal(np.asarray(i2)[:, 0], np.asarray(i0)[:, 0])
+
+
+def test_deep_k_wide_merge_matches_bruteforce(rng):
+    """n_probe * k_pair >= 2048 routes the final merge to the fused
+    lax.top_k branch (faster than the bitonic tree at width — r4
+    profile_deepk); it must preserve exactness/overlap identically."""
+    index, x, ids = _make_index(rng, n_cells=32, n=2400)
+    nq, k = 5, 100
+    q = rng.normal(size=(nq, index.d_vector)).astype(np.float32)
+    index.n_probe = index.n_cells  # 32 * k_pair(100|64) >= 2048: wide
+    index.use_smart_probing = False
+    index.scan_mode = "cell_major"
+
+    decoded = np.asarray(index.aux("decoded")).astype(np.float32)
+    a2i = np.asarray(index._address2id)
+    live = a2i >= 0
+    s = -((q[:, None] - decoded[None]) ** 2).sum(-1)
+    s[:, ~live] = -np.inf
+    order = np.argsort(-s, axis=1)[:, :k]
+    want_ids = a2i[order]
+
+    index.use_approx_topk = False
+    _, got_exact = index.search(jnp.asarray(q.T), k=k)
+    agree = (np.asarray(got_exact) == want_ids).mean()
+    assert agree > 0.99, f"exact wide-merge agreement {agree}"
+
+    index.use_approx_topk = True
+    _, got_pack = index.search(jnp.asarray(q.T), k=k)
+    overlap = np.mean([
+        len(np.intersect1d(a, b)) / k
+        for a, b in zip(np.asarray(got_pack), want_ids)])
+    assert overlap > 0.95, f"pack32 wide-merge overlap {overlap}"

@@ -421,17 +421,17 @@ def _merge_pairs(combo, query, pair_block, pair_slot, start_c_all, *,
             packed_w = jnp.take_along_axis(keys, fi, axis=1)
             start_w = jnp.take_along_axis(starts_q, fi // k_pair, axis=1)
             alive = fvs > -big / 2
-        else:
-            # deep k: the per-pair lists are descending runs (top_k /
-            # aggregated approx_max_k emit winners best-first), so merge
-            # them with a truncated bitonic tree instead of lax.top_k's
-            # full O(w log^2 w) sort over the concatenation — the TPU
-            # counterpart of the reference's in-register streaming merge
-            # (ivfpq_topk.cu:763-931). Packed keys can hold local
-            # inversions where masked values tie (order falls to the slot
-            # bits), but an int32 comparator refines the masked-key order,
-            # so the merged top-kk is exact in masked-key space — the same
-            # space lax.top_k over the decoded keys ranked in.
+        elif n_probe * k_pair < 2048:
+            # deep k, narrow merges: the per-pair lists are descending
+            # runs (top_k / aggregated approx_max_k emit winners
+            # best-first), so merge them with a truncated bitonic tree —
+            # the TPU counterpart of the reference's in-register
+            # streaming merge (ivfpq_topk.cu:763-931). Packed keys can
+            # hold local inversions where masked values tie (order falls
+            # to the slot bits), but an int32 comparator refines the
+            # masked-key order, so the merged top-kk is exact in
+            # masked-key space — the same space lax.top_k over the
+            # decoded keys ranked in.
             packed_w, pidx = bitonic.merge_runs_topk(
                 keys.reshape(nq, n_probe, k_pair),
                 jnp.broadcast_to(
@@ -439,6 +439,17 @@ def _merge_pairs(combo, query, pair_block, pair_slot, start_c_all, *,
                     (nq, n_probe, k_pair)), kk)
             start_w = jnp.take_along_axis(starts_q, pidx, axis=1)
             alive = _sortable_i32_f32(packed_w) > -big / 2
+        else:
+            # deep k, wide merges: past ~2k columns lax.top_k's single
+            # fused sort beats the bitonic tree's log2(runs) full-width
+            # rounds (measured [10k, 4096]: 39.9 ms vs 62.4 ms; [10k,
+            # 2048]: 24.4 vs 27.5 — r4 profile_deepk). Same exactness
+            # argument: top_k ranks the masked-key space.
+            sel = _sortable_i32_f32(keys)
+            fvs, fi = jax.lax.top_k(sel, kk)
+            packed_w = jnp.take_along_axis(keys, fi, axis=1)
+            start_w = jnp.take_along_axis(starts_q, fi // k_pair, axis=1)
+            alive = fvs > -big / 2
         slot = packed_w & jnp.int32(slot_mask)
         fv = _sortable_i32_f32(packed_w & jnp.int32(~slot_mask))
         fa = jnp.where(alive, start_w + slot, -1)
@@ -453,10 +464,12 @@ def _merge_pairs(combo, query, pair_block, pair_slot, start_c_all, *,
 
         # ---- final exact merge per query ----
         out = out.reshape(nq, n_probe, 2 * k_pair)
-        if kk > 32:
+        if kk > 32 and n_probe * k_pair < 2048:
             # bitonic run-merge (see pack32 branch): here the keys are
             # bit-exact sortable values and the runs truly descending,
-            # so the merge is exact.
+            # so the merge is exact. Wide merges (>= 2048 cols) fall to
+            # the top_k branch below — the single fused sort is faster
+            # there (r4 profile_deepk).
             fk, fa = bitonic.merge_runs_topk(
                 out[:, :, :k_pair], out[:, :, k_pair:], kk)
         else:
