@@ -110,7 +110,10 @@ def test_code_domain_crossover_two_regimes():
     (packed storage, decode matrix fits VMEM) probing pays from ~12x
     pruning (r4: np=32 43.3k q/s vs flat 23.0k); on the XLA one-hot
     fallback probing needs ~512x (r3: np=32 3.6k vs flat 23k)."""
-    index = _fake_scale(_make(scan_cache_dtype="none"),
+    # d=128: the kernel's real eligibility needs a lane-aligned decode
+    # width (the 1M bench shape); d=32 would now correctly be ineligible
+    index = _fake_scale(_make(d=128, n_subvectors=16,
+                              scan_cache_dtype="none"),
                         n_items=1_000_000, s_max=1024)
     assert index._codes_kernel_eligible()
     index.scan_mode = "auto"
@@ -177,6 +180,29 @@ def test_scan_gate_stable_across_n_probe_axis(rng):
             k=100, distance="euclidean", s_max=index.max_cell_capacity,
             n_cells=8, approx=True, impl="auto", interpret=True)
         impls[n_probe] = (adc.LAST_GATE["impl"], adc.LAST_GATE["k_pair"])
-    assert all(v[1] <= 64 for v in impls.values()), impls
-    assert len({v[0] for v in impls.values()}) == 1, \
+    # n_probe=1 is the deliberate exception: the completeness floor
+    # (ADVICE r4 #2) lifts k_pair to k=100 there so the search can
+    # return k results at all — correctness beats gate stability.
+    assert impls[1][1] == 100, impls
+    stable = {np_: v for np_, v in impls.items() if np_ >= 2}
+    assert all(v[1] <= 64 for v in stable.values()), impls
+    assert len({v[0] for v in stable.values()}) == 1, \
         f"scan impl flips along the n_probe axis: {impls}"
+
+
+def test_codes_gate_mirror_matches_dispatch():
+    """ADVICE r4 #1: the planner's _codes_kernel_eligible must equal the
+    dispatch's shape gate for every packed shape — in particular packed
+    indexes with d_vector < 128 (d=32/64/96), where the kernel cannot run
+    and the XLA one-hot fallback costs ~512x."""
+    from torchpq_tpu.ops.pallas_codes_scan import codes_kernel_static_gate
+    for d, m in ((32, 8), (64, 16), (96, 16), (128, 64), (128, 16)):
+        ix = IVFPQIndex(d_vector=d, n_subvectors=m, n_cells=8,
+                        scan_cache_dtype="none", initial_size=64)
+        if ix.pack_group <= 1:
+            continue
+        expect = codes_kernel_static_gate(m, ix.pack_group, d, "euclidean")
+        assert ix._codes_kernel_eligible() == expect, (d, m)
+        # and the concrete regression: sub-128 d_vector is NOT eligible
+        if d < 128:
+            assert not ix._codes_kernel_eligible(), (d, m)

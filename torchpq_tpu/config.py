@@ -63,15 +63,20 @@ def enable_persistent_cache(path="~/.cache/torchpq_tpu_jax",
     seconds (reference cold-build parity, BASELINE.md). jax.config.update
     only sets flags (no backend init), and the min-compile-time floor
     keeps fast CPU test compiles from churning the directory.
+
+    ORDER CONTRACT (ADVICE r4 #3): sessions that force the CPU backend
+    must do so BEFORE importing torchpq_tpu (tests/conftest.py does), or
+    call `disable_persistent_cache()` right after the late
+    `jax.config.update("jax_platforms", "cpu")` — XLA:CPU cache entries
+    are AOT-compiled for one host's exact machine features, and loading
+    them on another host risks SIGILL.
     """
     import os
     d = os.path.expanduser(path)
     try:
         # sessions explicitly pinned to CPU (tests, virtual meshes) opt
-        # out: XLA:CPU cache entries are AOT-compiled for one host's exact
-        # machine features, and this directory outlives the machine — a
-        # feature-mismatched load risks SIGILL, and CPU compiles are cheap
-        # anyway. (Reading the flag does NOT initialize a backend.)
+        # out: CPU compiles are cheap anyway. (Reading the flag does NOT
+        # initialize a backend.)
         if jax.config.jax_platforms == "cpu":
             return
         os.makedirs(d, exist_ok=True)
@@ -79,6 +84,16 @@ def enable_persistent_cache(path="~/.cache/torchpq_tpu_jax",
         jax.config.update("jax_persistent_cache_min_compile_time_secs",
                           float(min_compile_secs))
     except (OSError, AttributeError):  # read-only fs / older jax: best effort
+        pass
+
+
+def disable_persistent_cache():
+    """Undo enable_persistent_cache — REQUIRED after any post-import
+    jax.config.update("jax_platforms", "cpu") (see the order contract in
+    enable_persistent_cache's docstring)."""
+    try:
+        jax.config.update("jax_compilation_cache_dir", None)
+    except (AttributeError, ValueError):
         pass
 
 

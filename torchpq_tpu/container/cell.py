@@ -74,7 +74,12 @@ def _packed_row_write(storage, addr, data, g):
     are sorted by address, so the <= g items of one row are adjacent:
     ceil(log2(g)) doubling passes give the LAST item of each run the
     fully merged row), and scatter whole rows with a [b]-shaped index.
-    Slots are unique within a batch, so edits within a row are disjoint.
+    The add path guarantees unique slots per batch (disjoint edits);
+    duplicate addresses (possible via the public set_data_by_address)
+    resolve LAST-wins — the merge only grafts lanes the later item does
+    not already own (argsort is stable, so within one address batch
+    order is preserved), matching the unpacked .at[].set batch-order
+    semantics (ADVICE r4 #5).
     """
     b, m = data.shape
     n_rows = storage.shape[0]
@@ -91,13 +96,18 @@ def _packed_row_write(storage, addr, data, g):
     new = jnp.where(mine, own, rows)
     cover = mine
     sh = 1
-    while sh < g:
+    # a same-row run is at most min(g, b) items long, and the shifted
+    # slices below need sh < b to be well-formed (tiny batches, e.g. a
+    # 3-item set_data_by_address on a g=16 layout)
+    while sh < min(g, b):
         pad_r = jnp.full((sh,), -1, rr.dtype)
         same = (jnp.concatenate([pad_r, rr[:-sh]]) == rr)[:, None]
         prev_new = jnp.concatenate([new[:sh], new[:-sh]])
         prev_cover = jnp.concatenate(
             [jnp.zeros((sh, g * m), bool), cover[:-sh]])
-        take = same & prev_cover
+        # ~cover: never overwrite lanes this (later) item already owns —
+        # duplicate addresses resolve last-wins (disjoint edits unaffected)
+        take = same & prev_cover & ~cover
         new = jnp.where(take, prev_new, new)
         cover = cover | take
         sh *= 2

@@ -932,17 +932,18 @@ class IVFPQIndex(CellContainer):
 
 
     def _codes_kernel_eligible(self):
-        """Static mirror of the Pallas codes-scan gate (ops/onehot_adc.py)
-        for the planner: packed-at-ingest storage, a supported distance,
-        and a decode matrix that fits next to the pipeline in VMEM."""
-        from ..ops.pallas_codes_scan import PALLAS_BDIAG_VMEM_BYTES
-        if self.pack_group <= 1 or self.distance == "manhattan":
+        """Static mirror of the Pallas codes-scan gate for the planner —
+        delegates to the SAME shape predicate the dispatch uses
+        (ops/pallas_codes_scan.codes_kernel_static_gate), so packed
+        indexes the kernel cannot serve (e.g. d_vector=32/64/96, whose
+        XLA one-hot fallback costs ~512x) are priced correctly
+        (ADVICE r4 #1 — pinned by tests/test_planner.py)."""
+        from ..ops.pallas_codes_scan import codes_kernel_static_gate
+        if self.pack_group <= 1:
             return False
         m = self._storage.shape[1] // self.pack_group  # packed B/slot
-        d = self.d_vector
-        d_pad = util.round_up(d, 128) if d > 128 else d
-        return (self.pack_group * m == 128
-                and m * 256 * d_pad * 2 <= PALLAS_BDIAG_VMEM_BYTES)
+        return codes_kernel_static_gate(
+            m, self.pack_group, self.d_vector, self.distance)
 
     def _resolved_probe_cap(self, n_probe):
         """Static probe_cap for this search (None disables truncation)."""

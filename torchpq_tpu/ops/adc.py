@@ -607,6 +607,12 @@ def scan_cell_major(query, cells, probe_mask, decoded, norms, is_empty,
     # Free by the measurement above: recall@100 is flat 64 -> 100.
     if k_pair is None:
         k_pair = 64 if (approx and k > 64) else k
+        # completeness floor (ADVICE r4 #2): kk = min(k, n_probe * k_pair)
+        # must reach k whenever enough candidates exist — n_probe=1, k=100
+        # under a flat 64 ceiling would return 64 results + 36 pad rows.
+        # Only n_probe < ceil(k/64) lifts the ceiling (and may flip the
+        # Pallas gate off — correctness beats the kernel there).
+        k_pair = max(k_pair, min(k, util.cdiv(k, n_probe)))
     k_pair = min(k_pair, k, s_max, decoded.shape[0])
     # static block budget: sum_c ceil(P_c / p_tile) <= distinct_cells + P/p_tile
     b_max = min(n_cells, n_pairs) + util.cdiv(n_pairs, p_tile)
@@ -680,6 +686,9 @@ def scan_cell_major(query, cells, probe_mask, decoded, norms, is_empty,
     while bps > 1 and (2 * bps * s_eff * d_dec * decoded.dtype.itemsize
                        > PALLAS_WINDOW_VMEM_BYTES):
         bps //= 2
+    # b_max is only rounded to block_chunk; the kernel needs bps | b_max
+    import math
+    bps = math.gcd(bps, block_chunk)
     interpret = interpret or config.PALLAS_INTERPRET
     use_pallas = (
         impl in ("pallas", "auto") and distance != "manhattan"

@@ -126,8 +126,11 @@ def scan_cell_major_codes(query, cells, probe_mask, codes, norms, is_empty,
         if approx and k > 16:
             # 64-ceiling mirrors ops/adc.py: k_pair > 64 would flip the
             # Pallas codes kernel off mid-curve (gate-stability invariant,
-            # pinned by tests/test_planner.py)
-            k_pair = min(k, max(16, 4 * util.cdiv(k, n_probe)), 64)
+            # pinned by tests/test_planner.py). The ceiling yields to the
+            # completeness floor (ADVICE r4 #2): n_probe * k_pair must
+            # reach k whenever enough candidates exist.
+            k_pair = min(k, max(16, 4 * util.cdiv(k, n_probe)),
+                         max(64, util.cdiv(k, n_probe)))
         else:
             k_pair = k
     k_pair = min(k_pair, k, s_max, cap_total)
@@ -163,7 +166,8 @@ def scan_cell_major_codes(query, cells, probe_mask, codes, norms, is_empty,
     gather_windows = codes.nbytes > config.CODES_GATHER_BYTES
 
     from .pallas_codes_scan import (scan_blocks_pallas_codes,
-                                    PALLAS_BDIAG_VMEM_BYTES)
+                                    PALLAS_BDIAG_VMEM_BYTES,
+                                    codes_kernel_static_gate)
     interpret = interpret or config.PALLAS_INTERPRET
     dsub = codebook.shape[-1]
     d = m * dsub
@@ -171,15 +175,18 @@ def scan_cell_major_codes(query, cells, probe_mask, codes, norms, is_empty,
     bps = 4
     while bps > 1 and 2 * bps * (s_eff // g) * 128 > (1 << 22):
         bps //= 2
+    # the kernel asserts b % bps == 0 and b is only rounded to block_chunk:
+    # a caller passing block_chunk=1/2 must shrink bps to match (ADVICE r4)
+    import math
+    bps = math.gcd(bps, block_chunk)
     use_pallas = (
-        impl in ("pallas", "auto") and distance != "manhattan"
+        impl in ("pallas", "auto")
         and k_pair <= 64
         # packed full-lane storage is the kernel's DMA contract (the
         # interpreter honors it too — the kernel reads [cap/g, 128] rows)
-        and g * m == 128 and codes.shape[1] == 128
-        and (d_pad % 128 == 0 or interpret)
-        # the resident decode matrix must fit VMEM next to the pipeline
-        and m * 256 * d_pad * 2 <= PALLAS_BDIAG_VMEM_BYTES
+        and codes.shape[1] == 128
+        # shape gate shared with the planner's cost mirror
+        and codes_kernel_static_gate(m, g, d, distance, interpret)
         and (not approx or (pack32 and (s_eff % 128 == 0
                                         or (s_pow2 == s_eff
                                             and s_eff < 128)))))

@@ -54,6 +54,23 @@ from .adc import _f32_sortable_i32
 PALLAS_BDIAG_VMEM_BYTES = 9 * 1024 * 1024
 
 
+def codes_kernel_static_gate(m, g, d, distance, interpret=False):
+    """Shape-only part of the codes-kernel dispatch gate — the SINGLE
+    source of truth shared by the scan dispatch (ops/onehot_adc.py) and
+    the planner's cost mirror (IVFPQIndex._codes_kernel_eligible), so the
+    planner can never assume the kernel's crossover for a shape that will
+    actually run the XLA one-hot fallback (ADVICE r4 #1). Runtime-only
+    conditions (k_pair, s_eff/pack32) are checked at dispatch."""
+    from .. import util
+    d_pad = util.round_up(d, 128) if d > 128 else d
+    return (distance != "manhattan"
+            and g * m == 128
+            # interpret mode has no Mosaic tiling (CPU parity tests run
+            # d=32); compiled kernels need a lane-aligned decode width
+            and (d_pad % 128 == 0 or interpret)
+            and m * 256 * d_pad * 2 <= PALLAS_BDIAG_VMEM_BYTES)
+
+
 def _select_cols(scores, slot_map, *, k_pair, width, big, start):
     """Exact top-k_pair select over [p, width] scores whose column c maps
     to in-window slot slot_map[p, c] (the deinterleaved packed-offset
