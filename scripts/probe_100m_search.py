@@ -34,7 +34,7 @@ args = (
     sds((), jnp.float32),                         # temperature
 )
 
-for n_probe in (1, 8):
+for n_probe in (1, 8, 32):
     lowered = _search_full_codes.lower(
         *args, k=10, n_probe=n_probe, use_smart=True, precision=None,
         distance="euclidean", s_max=S_MAX, n_cells=N_CELLS, approx=True,

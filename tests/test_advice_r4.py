@@ -81,6 +81,31 @@ def test_codes_scan_accepts_small_block_chunk(rng):
         assert (np.asarray(addrs) >= 0).any()
 
 
+def test_penalty_staging_big_cache_path_matches(rng, monkeypatch):
+    """The huge-cache penalty staging (per-block 1-D dynamic slices — the
+    r5 fix for the 100M layout-wall temp) must return the same scan
+    results as the 16-row gather staging."""
+    ix, x = _built(rng, n=1200, n_cells=4, cache="none")
+    m = ix.code_size if ix.pack_group > 1 else None
+    q = jnp.asarray(rng.normal(size=(6, 32)).astype(np.float32))
+    _, cells, mask = _coarse_probe(
+        q, ix.vq_codec.kmeans._centroids[0], jnp.float32(30.0),
+        n_probe=2, use_smart=False, precision=None)
+    args = (q, cells, mask, ix._storage, ix.aux("norm")[:, 0],
+            ix._is_empty, ix._cell_start, ix._cell_capacity,
+            ix.pq_codec.codebook_internal)
+    kw = dict(k=8, distance="euclidean", s_max=ix.max_cell_capacity,
+              n_cells=4, approx=True, m=m, interpret=True)
+    v_small, a_small = scan_cell_major_codes(*args, **kw)
+    monkeypatch.setattr(adc, "_PEN_GATHER_BYTES", 0)
+    # new jit trace: k differs so the cached executable isn't reused
+    v_big, a_big = scan_cell_major_codes(*args, **{**kw, "k": 9})
+    np.testing.assert_array_equal(np.asarray(a_small),
+                                  np.asarray(a_big)[:, :8])
+    np.testing.assert_allclose(np.asarray(v_small),
+                               np.asarray(v_big)[:, :8], rtol=1e-5)
+
+
 def test_packed_set_data_duplicate_addresses_last_wins(rng):
     """ADVICE r4 #5: duplicate addresses in set_data_by_address resolve to
     the LAST item's bytes on the packed layout, matching batch-order

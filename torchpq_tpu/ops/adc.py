@@ -252,6 +252,76 @@ def _sortable_i32_f32(key):
 # the argsort fallback wins on memory (e.g. 10k queries x 256k cells)
 _COUNTING_PACK_BYTES = 256 * 1024 * 1024
 
+# 16-aligned-row penalty staging budget: the [cap/16, 16] gather operand is
+# lane-padded 16 -> 128 by XLA layout assignment (an 8x transient copy of
+# the f32 source array — the r4 100M serving failure: 4.61 GB of the
+# 5.18 GB AOT temp was exactly this copy). Above the budget the rows are
+# staged by per-block 1-D dynamic slices instead (1-D operands never
+# re-lay; temp stays at b_max * s_eff).
+_PEN_GATHER_BYTES = 1 << 30
+
+
+def _stage_rows16(arr, rows16, b_max, s_eff):
+    """[b_max, s_eff] rows of a [cap] f32 array via the 16-aligned row
+    gather (fastest staging at bench scale: 16-element rows ride the
+    16-slot cell-start alignment, cutting gather descriptors 16x)."""
+    a16 = arr.reshape(-1, 16)
+    return a16[rows16].reshape(b_max, s_eff)
+
+
+def _stage_penalty(norms, is_empty, start_c_all, *, s_eff, b_max,
+                   block_chunk, distance, big):
+    """Per-block penalty rows [b_max, s_eff]: norm-or-BIG with the empty
+    mask folded in (the is_empty check of ivfpq_topk.cu:874-884 as one
+    additive term). Caller adds the out-of-cell window masking.
+
+    Two stagings, gated by source size (see _PEN_GATHER_BYTES):
+    small -> one 16-aligned row gather over the fused [cap] penalty array;
+    huge  -> block_chunk-stacked 1-D dynamic slices of norms/is_empty
+    (never materializes a [cap] f32 temp either)."""
+    euclidean = distance == "euclidean"
+    if norms.size * 4 <= _PEN_GATHER_BYTES:
+        if euclidean:
+            penalty_arr = jnp.where(is_empty, big, norms)
+        else:
+            penalty_arr = jnp.where(is_empty, big, 0.0)
+        rows16 = (start_c_all[:, None] // 16
+                  + jnp.arange(s_eff // 16, dtype=jnp.int32)[None, :])
+        return _stage_rows16(penalty_arr, rows16, b_max, s_eff)
+
+    def stage_chunk(sc):
+        ew = jnp.stack([
+            jax.lax.dynamic_slice(is_empty, (sc[i],), (s_eff,))
+            for i in range(block_chunk)])
+        if euclidean:
+            nw = jnp.stack([
+                jax.lax.dynamic_slice(norms, (sc[i],), (s_eff,))
+                for i in range(block_chunk)])
+            return jnp.where(ew, big, nw)
+        return jnp.where(ew, big, 0.0)
+
+    nbc = b_max // block_chunk
+    pen = jax.lax.map(stage_chunk, start_c_all.reshape(nbc, block_chunk))
+    return pen.reshape(b_max, s_eff)
+
+
+def _stage_block_rows(arr, start_c_all, *, s_eff, b_max, block_chunk):
+    """Per-block [b_max, s_eff] windows of a [cap] array, with the same
+    size gate as _stage_penalty (16-row gather vs 1-D dynamic slices)."""
+    if arr.size * arr.dtype.itemsize <= _PEN_GATHER_BYTES:
+        rows16 = (start_c_all[:, None] // 16
+                  + jnp.arange(s_eff // 16, dtype=jnp.int32)[None, :])
+        return _stage_rows16(arr, rows16, b_max, s_eff)
+
+    def stage_chunk(sc):
+        return jnp.stack([
+            jax.lax.dynamic_slice(arr, (sc[i],), (s_eff,))
+            for i in range(block_chunk)])
+
+    nbc = b_max // block_chunk
+    out = jax.lax.map(stage_chunk, start_c_all.reshape(nbc, block_chunk))
+    return out.reshape(b_max, s_eff)
+
 
 def _pack_pairs(cells, probe_mask, *, n_cells, p_tile, b_max):
     """Group probed (query, cell) pairs by cell and pack them into blocks of
@@ -732,12 +802,11 @@ def scan_cell_major(query, cells, probe_mask, decoded, norms, is_empty,
         # penalty DMA is impossible — 1-D HBM memrefs carry 1024-element
         # tiling, cell starts are only 16-aligned). A row gather over the
         # 16-aligned reshape measured fastest (5.6 ms vs 10.3 map-slice vs
-        # 22.3 flat elementwise gather at b_max=4728): 16-element rows ride
-        # the 16-slot start alignment, cutting gather descriptors 16x.
-        pen16 = penalty_arr.reshape(-1, 16)
-        rows16 = (start_c_all[:, None] // 16
-                  + jnp.arange(s_eff // 16, dtype=jnp.int32)[None, :])
-        pen_all = pen16[rows16].reshape(b_max, s_eff)
+        # 22.3 flat elementwise gather at b_max=4728); huge caches flip to
+        # 1-D dynamic slices inside _stage_penalty (layout-wall guard).
+        pen_all = _stage_penalty(
+            norms, is_empty, start_c_all, s_eff=s_eff, b_max=b_max,
+            block_chunk=block_chunk, distance=distance, big=big)
         in_cell = ((slot_iota[None, :s_eff] >= off_all[:, None])
                    & (slot_iota[None, :s_eff] < (off_all + cap_all)[:, None]))
         pen_all = pen_all + jnp.where(in_cell, 0.0, big)
@@ -753,8 +822,9 @@ def scan_cell_major(query, cells, probe_mask, decoded, norms, is_empty,
             # dequant scales ride the same 16-aligned row gather as the
             # penalty, and the per-prober query scales ride the tile gather
             qvecs_p = query_q[qidx_all]
-            sc16 = scales.reshape(-1, 16)
-            scales_all = sc16[rows16].reshape(b_max, s_eff)
+            scales_all = _stage_block_rows(
+                scales, start_c_all, s_eff=s_eff, b_max=b_max,
+                block_chunk=block_chunk)
             q_scales = q_scale_all[qidx_all]  # [B, p_tile]
         else:
             mm_cast = (decoded.dtype if decoded.dtype == jnp.bfloat16

@@ -211,11 +211,14 @@ def scan_cell_major_codes(query, cells, probe_mask, codes, norms, is_empty,
         bdiag = blockdiag_codebook(codebook).astype(jnp.bfloat16)
         if d_pad > d:
             bdiag = jnp.pad(bdiag, ((0, 0), (0, d_pad - d)))
-        # penalty rows: same 16-aligned row gather as ops/adc.py's staging
-        pen16 = penalty_arr.reshape(-1, 16)
-        rows16 = (start_c_all[:, None] // 16
-                  + jnp.arange(s_eff // 16, dtype=jnp.int32)[None, :])
-        pen_all = pen16[rows16].reshape(b_max, s_eff)
+        # penalty rows: same staging as ops/adc.py — 16-aligned row gather
+        # at bench scale, per-block 1-D dynamic slices at huge caps (the
+        # [cap/16, 16] gather operand lane-pads x8: the r4 100M serving
+        # failure's 4.61 GB temp, _PEN_GATHER_BYTES in ops/adc.py)
+        from .adc import _stage_penalty
+        pen_all = _stage_penalty(
+            norms, is_empty, start_c_all, s_eff=s_eff, b_max=b_max,
+            block_chunk=block_chunk, distance=distance, big=big)
         in_cell = ((slot_iota[None, :s_eff] >= off_all[:, None])
                    & (slot_iota[None, :s_eff]
                       < (off_all + cap_all)[:, None]))
