@@ -139,3 +139,36 @@ def test_k_pair_cap_large_k(rng):
     recall = np.mean([len(set(a_c[i]) & set(a_x[i])) / k
                       for i in range(nq)])
     assert recall >= 0.9, f"k_pair-capped recall {recall}"
+
+
+@pytest.mark.parametrize("cache", ["float32", "int8"])
+def test_pallas_qtable_mode_matches_streamed(rng, cache, monkeypatch):
+    """resident-qtable mode (in-kernel one-hot query fetch — the d=960
+    glue fix) must produce the same outputs as the streamed-tile mode:
+    one-hot selection is exact in every dtype."""
+    from torchpq_tpu.ops import pallas_scan
+    d, m, n_cells, n = 32, 8, 8, 2000
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    index = IVFPQIndex(d_vector=d, n_subvectors=m, n_cells=n_cells,
+                       scan_cache_dtype=cache, initial_size=64)
+    index.train(jnp.asarray(x.T))
+    index.add(jnp.asarray(x.T))
+    nq, n_probe, k = 16, 4, 6
+    q = jnp.asarray(rng.normal(size=(nq, d)).astype(np.float32))
+    _, cells, mask = _coarse_probe(
+        q, index.vq_codec.kmeans._centroids[0], jnp.float32(30.0),
+        n_probe=n_probe, use_smart=False, precision=None)
+    scales = index.aux("scale")[:, 0] if cache == "int8" else None
+    args = (q, cells, mask, index.aux("decoded"), index.aux("norm")[:, 0],
+            index._is_empty, index._cell_start, index._cell_capacity)
+    kw = dict(distance="euclidean", s_max=index.max_cell_capacity,
+              n_cells=n_cells, approx=False, impl="pallas", interpret=True,
+              scales=scales)
+    v_t, a_t = adc.scan_cell_major(*args, k=k, **kw)
+    assert adc.LAST_GATE["qtable"] is True
+    monkeypatch.setattr(pallas_scan, "QTABLE_VMEM_BYTES", 0)
+    v_s, a_s = adc.scan_cell_major(*args, k=k + 1, **kw)  # fresh trace
+    assert adc.LAST_GATE["qtable"] is False
+    np.testing.assert_array_equal(np.asarray(a_t), np.asarray(a_s)[:, :k])
+    np.testing.assert_allclose(np.asarray(v_t), np.asarray(v_s)[:, :k],
+                               rtol=1e-6)

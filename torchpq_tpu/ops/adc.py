@@ -796,7 +796,8 @@ def scan_cell_major(query, cells, probe_mask, decoded, norms, is_empty,
             "to XLA", stacklevel=2)
 
     if use_pallas:
-        from .pallas_scan import scan_blocks_pallas
+        from .pallas_scan import (scan_blocks_pallas, QTABLE_VMEM_BYTES,
+                                  QTABLE_MAC_RATIO)
 
         # stage the per-block penalty rows in XLA (4 B/slot; an in-kernel
         # penalty DMA is impossible — 1-D HBM memrefs carry 1024-element
@@ -810,18 +811,11 @@ def scan_cell_major(query, cells, probe_mask, decoded, norms, is_empty,
         in_cell = ((slot_iota[None, :s_eff] >= off_all[:, None])
                    & (slot_iota[None, :s_eff] < (off_all + cap_all)[:, None]))
         pen_all = pen_all + jnp.where(in_cell, 0.0, big)
-        # pre-gather the per-block query tiles in XLA (small-table row
-        # gather, ~100 GB/s) in the matmul dtype — casting the 10k-row query
-        # table BEFORE the [B, p_tile] gather halves the gather's read
-        # traffic vs casting its output. The kernel streams tiles + penalty
-        # rows through its BlockSpec pipeline. bps blocks per grid step
-        # amortize the ~4 us/step pipeline overhead (block_chunk=8 divides
-        # b_max, so any bps | block_chunk is safe).
         if int8_cache:
-            # int8 stays int8 through the gather (1 B/dim); the per-slot
-            # dequant scales ride the same 16-aligned row gather as the
-            # penalty, and the per-prober query scales ride the tile gather
-            qvecs_p = query_q[qidx_all]
+            # per-slot dequant scales ride the same staging as the
+            # penalty; per-prober query scales ride a tiny row gather
+            mm_cast = jnp.int8
+            q_src = query_q
             scales_all = _stage_block_rows(
                 scales, start_c_all, s_eff=s_eff, b_max=b_max,
                 block_chunk=block_chunk)
@@ -829,13 +823,36 @@ def scan_cell_major(query, cells, probe_mask, decoded, norms, is_empty,
         else:
             mm_cast = (decoded.dtype if decoded.dtype == jnp.bfloat16
                        else query.dtype)
-            qvecs_p = query_q.astype(mm_cast)[qidx_all]
+            q_src = query_q.astype(mm_cast)
             scales_all = q_scales = None
-        combo = scan_blocks_pallas(
-            qvecs_p, start_c_all, pen_all, decoded,
-            s_eff=s_eff, k_pair=k_pair, p_tile=p_tile, distance=distance,
-            approx=pack32, slot_mask=slot_mask, bps=bps, interpret=interpret,
-            scales_all=scales_all, q_scales=q_scales)
+        # resident-qtable mode: when the whole query table fits the VMEM
+        # budget and the one-hot fetch MACs stay within QTABLE_MAC_RATIO
+        # of the score matmul, skip the [B, p_tile, d] XLA query-tile
+        # gather entirely and let the kernel fetch rows on the MXU (the
+        # d=960 glue fix — r4 VERDICT #2). Otherwise pre-gather tiles in
+        # XLA (small-table row gather) in the matmul dtype — casting the
+        # query table BEFORE the gather halves the gather's read traffic.
+        nq_pad = util.round_up(nq, 128)
+        use_qtable = (
+            nq_pad * d_dec * jnp.dtype(mm_cast).itemsize <= QTABLE_VMEM_BYTES
+            and nq_pad <= QTABLE_MAC_RATIO * s_eff)
+        LAST_GATE["qtable"] = use_qtable
+        if use_qtable:
+            qtab, _ = util.pad_rows(q_src, 128)
+            combo = scan_blocks_pallas(
+                None, start_c_all, pen_all, decoded,
+                s_eff=s_eff, k_pair=k_pair, p_tile=p_tile, distance=distance,
+                approx=pack32, slot_mask=slot_mask, bps=bps,
+                interpret=interpret, scales_all=scales_all,
+                q_scales=q_scales, qtable=qtab, probers_all=qidx_all)
+        else:
+            qvecs_p = q_src[qidx_all]
+            combo = scan_blocks_pallas(
+                qvecs_p, start_c_all, pen_all, decoded,
+                s_eff=s_eff, k_pair=k_pair, p_tile=p_tile, distance=distance,
+                approx=pack32, slot_mask=slot_mask, bps=bps,
+                interpret=interpret, scales_all=scales_all,
+                q_scales=q_scales)
     else:
         qvecs_all = query_q.astype(
             mm_dtype if distance != "manhattan" else query.dtype

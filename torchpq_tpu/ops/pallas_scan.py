@@ -72,6 +72,17 @@ from .adc import _f32_sortable_i32  # noqa: E402
 # VMEM next to the pipelined query tiles and output block
 PALLAS_WINDOW_VMEM_BYTES = 10 * 1024 * 1024
 
+# resident-qtable mode budget: the whole [nq_pad, d] query table lives in
+# VMEM and each block gathers its p_tile query rows ON THE MXU (one-hot
+# selection matmul) instead of streaming XLA-pregathered [B, p_tile, d]
+# tiles from HBM. Kills the query-tile gather (measured 65 GB/s XLA row
+# gather, ~9 ms/batch at the GIST d=960 shape — r4 VERDICT #2) at the
+# price of p*nq_pad*d extra MACs per block, so it only pays while the
+# scan is window-DMA-bound and the table is small:
+QTABLE_VMEM_BYTES = 4 * 1024 * 1024
+# one-hot MACs (p*nq_pad*d) <= ratio * score MACs (p*s_eff*d):
+QTABLE_MAC_RATIO = 2.0
+
 
 def _select_topk(scores, k_pair, width, big, start, slot_mask, pack32,
                  rbest=None, n_groups=None):
@@ -172,12 +183,18 @@ def _score_and_select(cand, pen, q, start, *, s_eff, p_tile,
 
 
 def _make_kernel(s_eff, k_pair, p_tile, d, euclidean, big, n_groups,
-                 slot_mask, pack32, bps, int8=False):
-    def kernel(start_ref, qvecs_ref, pen_ref, *rest):
-        if int8:
-            scale_ref, qsc_ref, decoded, out_ref, cand_buf, sems = rest
+                 slot_mask, pack32, bps, int8=False, qtable=False):
+    def kernel(start_ref, *rest):
+        if qtable:
+            prob_ref, rest = rest[0], rest[1:]
         else:
-            decoded, out_ref, cand_buf, sems = rest
+            qvecs_ref, rest = rest[0], rest[1:]
+        pen_ref, rest = rest[0], rest[1:]
+        if int8:
+            scale_ref, qsc_ref, rest = rest[0], rest[1], rest[2:]
+        if qtable:
+            qtable_ref, rest = rest[0], rest[1:]
+        decoded, out_ref, cand_buf, sems = rest
         g = pl.program_id(0)
         n_g = pl.num_programs(0)
 
@@ -204,8 +221,34 @@ def _make_kernel(s_eff, k_pair, p_tile, d, euclidean, big, n_groups,
 
         for j in range(bps):
             window_dma(slot, g, j).wait()
+            if qtable:
+                # fetch this block's query rows from the VMEM-resident
+                # table with a one-hot selection matmul on the MXU (exact:
+                # 0/1 weights select rows bit-for-bit in int8; bf16 rows
+                # are scaled by 1.0). nq_pad columns make every compare a
+                # full-lane vector op and the contraction MXU-shaped.
+                nq_pad = qtable_ref.shape[0]
+                prob = prob_ref[j, 0]                      # [p_tile] i32
+                iota_q = jax.lax.broadcasted_iota(
+                    jnp.int32, (p_tile, nq_pad), 1)
+                if int8:
+                    oh = (prob[:, None] == iota_q).astype(jnp.int8)
+                    q_blk = jax.lax.dot_general(
+                        oh, qtable_ref[...],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32
+                    ).astype(jnp.int8)
+                else:
+                    oh = (prob[:, None] == iota_q).astype(qtable_ref.dtype)
+                    q_blk = jax.lax.dot_general(
+                        oh, qtable_ref[...],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32
+                    ).astype(qtable_ref.dtype)
+            else:
+                q_blk = qvecs_ref[j]
             out_ref[j] = _score_and_select(
-                cand_buf[slot, j], pen_ref[j, 0], qvecs_ref[j],
+                cand_buf[slot, j], pen_ref[j, 0], q_blk,
                 start_ref[g * bps + j], s_eff=s_eff, p_tile=p_tile,
                 k_pair=k_pair, euclidean=euclidean, big=big,
                 n_groups=n_groups, slot_mask=slot_mask, pack32=pack32,
@@ -221,7 +264,8 @@ def _make_kernel(s_eff, k_pair, p_tile, d, euclidean, big, n_groups,
                      "slot_mask", "bps", "interpret"))
 def scan_blocks_pallas(qvecs, start_all, pen_all, decoded, *, s_eff, k_pair,
                        p_tile, distance, approx=False, slot_mask=0, bps=4,
-                       interpret=False, scales_all=None, q_scales=None):
+                       interpret=False, scales_all=None, q_scales=None,
+                       qtable=None, probers_all=None):
     """Run the fused block scan.
 
     qvecs: [B, p_tile, d] pre-gathered per-block query tiles (decoded's
@@ -238,6 +282,13 @@ def scan_blocks_pallas(qvecs, start_all, pen_all, decoded, *, s_eff, k_pair,
     window-DMA-bound), the MXU runs int8 x int8 -> int32, and the dequant
     multiply matches the XLA int8 branch bit-for-bit.
 
+    resident-qtable mode (qtable [nq_pad, d] + probers_all [B, p_tile] i32
+    given, qvecs None): the query table lives in VMEM for the whole grid
+    and each block's rows are fetched by an exact one-hot selection matmul
+    — no [B, p_tile, d] HBM tile traffic at all. Gated by the caller
+    (QTABLE_VMEM_BYTES / QTABLE_MAC_RATIO); results are identical to the
+    streamed mode (selection is exact in both dtypes).
+
     Returns combo int32: approx -> [B, p_tile, k_pair] pack32 rows
     (value-bits | slot, in-window slot, slot_mask wide); exact ->
     [B, p_tile, 2*k_pair] (sortable keys ++ absolute addresses).
@@ -247,7 +298,14 @@ def scan_blocks_pallas(qvecs, start_all, pen_all, decoded, *, s_eff, k_pair,
     int8 = decoded.dtype == jnp.int8
     assert (scales_all is not None) == int8 and \
         (q_scales is not None) == int8, "int8 cache needs both scale inputs"
-    _, _, d = qvecs.shape
+    use_qtable = qtable is not None
+    assert use_qtable == (probers_all is not None) and \
+        use_qtable == (qvecs is None)
+    if use_qtable:
+        d = qtable.shape[1]
+        assert qtable.dtype == decoded.dtype, (qtable.dtype, decoded.dtype)
+    else:
+        _, _, d = qvecs.shape
     big = float(jnp.finfo(jnp.float32).max / 4)
     euclidean = distance == "euclidean"
     if approx:
@@ -269,15 +327,20 @@ def scan_blocks_pallas(qvecs, start_all, pen_all, decoded, *, s_eff, k_pair,
         n_groups = s_eff
     out_w = k_pair if approx else 2 * k_pair
 
-    in_specs = [
-        pl.BlockSpec((bps, p_tile, d), lambda g, *_: (g, 0, 0),
-                     memory_space=pltpu.VMEM),
-        # [B, 1, s_eff] with a (bps, 1, s_eff) block: the middle
-        # singleton satisfies the last-two-dims tiling rule for any bps
-        pl.BlockSpec((bps, 1, s_eff), lambda g, *_: (g, 0, 0),
-                     memory_space=pltpu.VMEM),
-    ]
-    operands = [qvecs, pen_all[:, None, :]]
+    if use_qtable:
+        # per-block prober ids stream like a 1-row int32 tile
+        in_specs = [pl.BlockSpec((bps, 1, p_tile), lambda g, *_: (g, 0, 0),
+                                 memory_space=pltpu.VMEM)]
+        operands = [probers_all[:, None, :].astype(jnp.int32)]
+    else:
+        in_specs = [pl.BlockSpec((bps, p_tile, d), lambda g, *_: (g, 0, 0),
+                                 memory_space=pltpu.VMEM)]
+        operands = [qvecs]
+    # [B, 1, s_eff] with a (bps, 1, s_eff) block: the middle
+    # singleton satisfies the last-two-dims tiling rule for any bps
+    in_specs.append(pl.BlockSpec((bps, 1, s_eff), lambda g, *_: (g, 0, 0),
+                                 memory_space=pltpu.VMEM))
+    operands.append(pen_all[:, None, :])
     if int8:
         # per-slot dequant scales stream like the penalty rows; per-prober
         # query scales stream like a 1-row query tile
@@ -286,6 +349,9 @@ def scan_blocks_pallas(qvecs, start_all, pen_all, decoded, *, s_eff, k_pair,
         in_specs.append(pl.BlockSpec((bps, 1, p_tile), lambda g, *_: (g, 0, 0),
                                      memory_space=pltpu.VMEM))
         operands += [scales_all[:, None, :], q_scales[:, None, :]]
+    if use_qtable:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # resident
+        operands.append(qtable)
     in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
     operands.append(decoded)
 
@@ -303,7 +369,8 @@ def scan_blocks_pallas(qvecs, start_all, pen_all, decoded, *, s_eff, k_pair,
     )
 
     kernel = _make_kernel(s_eff, k_pair, p_tile, d, euclidean, big,
-                          n_groups, slot_mask, approx, bps, int8=int8)
+                          n_groups, slot_mask, approx, bps, int8=int8,
+                          qtable=use_qtable)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((b, p_tile, out_w), jnp.int32),
