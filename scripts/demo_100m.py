@@ -50,8 +50,19 @@ def main():
     ap.add_argument("--chunk", type=int, default=1_000_000)
     ap.add_argument("--n-cells", type=int, default=32768)
     ap.add_argument("--nq", type=int, default=256)
+    ap.add_argument("--nq-list", type=int, nargs="*", default=None,
+                    help="extra batch sizes for the serving curve "
+                         "(probed rows re-timed at each)")
     ap.add_argument("--train-n", type=int, default=1_000_000)
     ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--cache", default="none", choices=["none", "int8"],
+                    help="scan tier: 'none' = code-domain (m B/slot, the "
+                         "100M config), 'int8' = int8 decoded cache "
+                         "(+1 B/dim; at 50M it fits one chip and serves "
+                         "10-20x faster than the decode-bound codes scan)")
+    ap.add_argument("--spill-cap", type=int, default=8192,
+                    help="per-cell capacity bound (spill routes overflow); "
+                         "smaller caps shrink every probed window")
     ap.add_argument("--out", type=str, default="demo_100m.json")
     args = ap.parse_args()
     d, m = 128, 64
@@ -62,10 +73,12 @@ def main():
     # asked for 2 x 8.6 GB. So cells are presized from a counting pre-pass
     # that REPLAYS the exact spill routing of the ingest pass (both are
     # deterministic functions of the chunk stream + occupancy history),
-    # and expand() runs ONCE while the store is 33 MB.
-    spill_cap = 8192
+    # and expand() runs ONCE while the store is 33 MB (exact=True: 16-
+    # multiple capacities, not pow2 — the pow2 1.3-1.5x slack is what kept
+    # the int8 tier from fitting 50M).
+    spill_cap = args.spill_cap
     index = IVFPQIndex(d_vector=d, n_subvectors=m, n_cells=args.n_cells,
-                       initial_size=16, scan_cache_dtype="none")
+                       initial_size=16, scan_cache_dtype=args.cache)
     index.use_approx_topk = True
     index.vq_codec.kmeans.max_iter = 10
     index.pq_codec.kmeans.max_iter = 15
@@ -108,7 +121,8 @@ def main():
           f"presized capacity {cap_np.sum():,} slots "
           f"({cap_np.sum() * m / 1e9:.2f} GB codes)", flush=True)
     index.expand(required={int(c): int(counts_np[c])
-                           for c in np.nonzero(counts_np > 16)[0]})
+                           for c in np.nonzero(counts_np > 16)[0]},
+                 exact=True)
     index.spill_cells = 8
     index.spill_capacity = spill_cap
     train_s += count_s
@@ -164,19 +178,23 @@ def main():
 
     # pack codes rows into full 128-lane tiles (donated reshape, zero copy):
     # without this, the first search re-lays the 9.2 GB u8[*, 64] codes into
-    # an 18.4 GB lane-padded tile and the compile itself OOMs the chip
-    try:
-        index.freeze_codes()
-        print(f"[100m] codes frozen for serving: "
-              f"storage {tuple(index._storage.shape)}", flush=True)
-    except Exception as e:  # the pack is a copy until storage is written
-        # packed at ingest (XLA offers no zero-copy re-view of a live
-        # buffer); past ~half-HBM codes the demo serves via the gather path
-        print(f"[100m] freeze_codes unavailable at this scale: "
-              f"{str(e)[:120]}", flush=True)
+    # an 18.4 GB lane-padded tile and the compile itself OOMs the chip.
+    # int8-cache tier: searches never read the codes, no freeze needed.
+    if args.cache == "none":
+        try:
+            index.freeze_codes()
+            print(f"[100m] codes frozen for serving: "
+                  f"storage {tuple(index._storage.shape)}", flush=True)
+        except Exception as e:  # the pack is a copy until storage is written
+            # packed at ingest (XLA offers no zero-copy re-view of a live
+            # buffer); past ~half-HBM codes the demo serves via the gather
+            print(f"[100m] freeze_codes unavailable at this scale: "
+                  f"{str(e)[:120]}", flush=True)
 
+    mode = "code_domain" if args.cache == "none" else f"{args.cache}_cache"
     results = {"n": args.n, "d": d, "m": m, "n_cells": args.n_cells,
-               "mode": "code_domain", "nq": args.nq, "k": args.k,
+               "mode": mode, "spill_cap": spill_cap, "nq": args.nq,
+               "k": args.k,
                "device": jax.local_devices()[0].device_kind,
                "hbm_gb": hbm_gb, "index_state_gb": round(state_gb, 2),
                "train_s": round(train_s, 1), "ingest_s": round(add_s, 1),
@@ -199,40 +217,57 @@ def main():
     # goes last and is exception-guarded — at 100M it is the riskiest
     # program and must not erase the probed results if it OOMs.
     from torchpq_tpu.ops import adc
-    for n_probe in (1, 8, 32, "flat"):
+
+    def one_row(n_probe, q_batch, nq_row):
         try:
             if n_probe == "flat":
                 index.scan_mode = "flat"
-                reps = 1  # whole-storage decode; one rep is plenty at 100M
+                reps = 1  # whole-storage sweep; one rep is plenty at 100M
             else:
                 index.scan_mode = "cell_major"
                 index.n_probe = n_probe
                 reps = 3 if n_probe == 1 else 1
-            vals, pred = index.search(qj, k=args.k)
+            vals, pred = index.search(q_batch, k=args.k)
             jax.block_until_ready(vals)
             t0 = time.perf_counter()
             for _ in range(reps):
-                vals, pred = index.search(qj, k=args.k)
+                vals, pred = index.search(q_batch, k=args.k)
             jax.block_until_ready(vals)
         except Exception as e:
-            out = {"n": args.n, "n_probe": n_probe,
+            out = {"n": args.n, "n_probe": n_probe, "nq": nq_row,
                    "status": f"failed: {str(e)[:200]}"}
             print(json.dumps(out), flush=True)
             results["entries"].append(out)
             _flush()
-            continue
+            return
         dt = (time.perf_counter() - t0) / reps
         pred = np.asarray(pred)
+        nr = min(nq_row, args.nq)  # GT exists for the first args.nq queries
         rec = float(np.mean([len(set(pred[i]) & set(gt[i])) / args.k
-                             for i in range(args.nq)]))
-        out = {"n": args.n, "n_probe": n_probe, "qps": round(args.nq / dt),
+                             for i in range(nr)]))
+        out = {"n": args.n, "n_probe": n_probe, "qps": round(nq_row / dt),
                "recall@10": round(rec, 4), "ms_per_batch": round(dt * 1e3, 1),
-               "nq": args.nq, "mode": "code_domain", "hbm_gb": hbm_gb,
+               "nq": nq_row, "mode": mode, "hbm_gb": hbm_gb,
                "scan_gate": dict(adc.LAST_GATE),
                "train_s": round(train_s, 1), "ingest_s": round(add_s, 1)}
         print(json.dumps(out), flush=True)
         results["entries"].append(out)
         _flush()
+
+    for n_probe in (1, 8, 32, "flat"):
+        one_row(n_probe, qj, args.nq)
+    # serving batch-size curve: duplicate/slice the GT'd queries to the
+    # requested sizes (recall scored on the first args.nq of each batch)
+    for nq2 in (args.nq_list or ()):
+        if nq2 == args.nq:
+            continue
+        if nq2 <= args.nq:
+            q2 = qj[:, :nq2]
+        else:
+            reps_n = -(-nq2 // args.nq)
+            q2 = jnp.tile(qj, (1, reps_n))[:, :nq2]
+        for n_probe in (1, 8, 32):
+            one_row(n_probe, q2, nq2)
 
     print("wrote", path, flush=True)
 

@@ -373,18 +373,28 @@ class CellContainer(BaseContainer):
         return self.get_data_by_address(self.get_address_by_id(ids))
 
     # -- growth --
-    def expand(self, cells=None, required=None):
+    def expand(self, cells=None, required=None, exact=False):
         """Re-layout storage with doubled capacities for the given cells.
 
         `required`: optional per-cell minimum sizes (host ints). Unlike the
         reference's per-cell torch.cat splice (CellContainer.py:249-311,
         O(storage) per cell with host syncs), this is one functional gather
         over the whole store, amortized by power-of-two growth.
+
+        `exact` (with `required`): round capacities to multiples of 16
+        instead of powers of two. Cell starts stay 16-aligned (the Pallas
+        window-DMA invariant needs only that), while capacity tracks the
+        true counts — the pow2 rounding's 1.3-1.5x HBM overhead is what
+        kept the 50M int8-cache tier from fitting one chip. Meant for the
+        presize-before-ingest path (one relayout while the store is tiny);
+        organic growth keeps pow2 for bounded recompilation.
         """
         new_caps = self._cell_capacity_np.copy()
         if required is not None:
             for c, req in required.items():
-                new_caps[c] = max(util.next_pow2(int(req)), new_caps[c])
+                rounded = (util.round_up(max(int(req), 16), 16) if exact
+                           else util.next_pow2(int(req)))
+                new_caps[c] = max(rounded, new_caps[c])
         elif cells is not None:
             for c in np.unique(np.asarray(cells)):
                 new_caps[c] = new_caps[c] * 2
