@@ -128,7 +128,9 @@ def main():
             print(f"  padded-to-{padw} rows: {dt2:.2f} ms", flush=True)
 
     # ---- (2) composed scan: qtable on vs off ----
-    for n_probe, k in ((32, 10), (32, 100), (128, 100)):
+    # np=8 rows: the r4 sweep's non-monotonic anomaly (np=8 k10 23.4k <
+    # np=32 32.1k at IDENTICAL gates) — watch the coarse/scan split
+    for n_probe, k in ((8, 10), (32, 10), (32, 100), (128, 100)):
         index.n_probe = n_probe
         dt = timeit(lambda: index.search(qj, k=k))
         print(f"np={n_probe} k={k} search: {dt:.1f} ms "
