@@ -76,6 +76,11 @@ def main():
     ap.add_argument("--probe-cap", default=None,
                     help="static probe-axis cap under grouping: 'auto', "
                          "an int, or unset (see IVFPQIndex.scan_probe_cap)")
+    ap.add_argument("--merge-taper", type=int, nargs=2, default=None,
+                    metavar=("P0", "KP_TAIL"),
+                    help="rank-tapered deep-k merge: first P0 pairs keep "
+                         "k_pair columns, the rest KP_TAIL "
+                         "(IVFPQIndex.scan_merge_taper)")
     ap.add_argument("--k-pair", type=int, default=None,
                     help="explicit per-pair partial width "
                          "(IVFPQIndex.scan_k_pair; None = auto)")
@@ -123,6 +128,8 @@ def main():
         index.scan_probe_cap = (args.probe_cap if args.probe_cap == "auto"
                                 else int(args.probe_cap))
     index.scan_k_pair = args.k_pair
+    if args.merge_taper is not None:
+        index.scan_merge_taper = tuple(args.merge_taper)
 
     def _mem(tag):
         ms = jax.local_devices()[0].memory_stats() or {}
@@ -220,7 +227,7 @@ def main():
         "index": args.index, "n_bits": args.n_bits,
         "cache": args.cache, "spill": not args.no_spill,
         "scan_group": args.scan_group, "probe_cap": args.probe_cap,
-        "k_pair": args.k_pair,
+        "k_pair": args.k_pair, "merge_taper": args.merge_taper,
         "initial_mult": args.initial_mult,
         "scan_impl": index.scan_impl, "s_max": int(index.max_cell_capacity),
         "train_s": round(train_s, 2), "add_s": round(add_s, 2),

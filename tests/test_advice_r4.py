@@ -126,3 +126,31 @@ def test_packed_set_data_duplicate_addresses_last_wins(rng):
     # neighbors in the same packed row are untouched
     got1 = np.asarray(c.get_data_by_address(jnp.asarray(addr[[1, 2]])))
     np.testing.assert_array_equal(got1, data[:, [1, 2]])
+
+
+def test_merge_taper_deep_k(rng):
+    """scan_merge_taper (rank-tapered deep-k merge): disabled when the
+    taper covers everything; when active, returns k valid results that
+    heavily overlap the untapered merge (tail pairs rarely hold deep
+    winners)."""
+    ix, x = _built(rng, n=3000, n_cells=8)
+    q = jnp.asarray(rng.normal(size=(8, 32)).astype(np.float32))
+    _, cells, mask = _coarse_probe(
+        q, ix.vq_codec.kmeans._centroids[0], jnp.float32(30.0),
+        n_probe=8, use_smart=False, precision=None)
+    args = (q, cells, mask, ix.aux("decoded"), ix.aux("norm")[:, 0],
+            ix._is_empty, ix._cell_start, ix._cell_capacity)
+    kw = dict(k=64, distance="euclidean", s_max=ix.max_cell_capacity,
+              n_cells=8, approx=True, impl="auto", interpret=True,
+              k_pair=32)
+    v0, a0 = adc.scan_cell_major(*args, **kw)
+    # p0 >= n_probe disables the taper: identical trace semantics
+    v1, a1 = adc.scan_cell_major(*args, merge_taper=(8, 8), **kw)
+    np.testing.assert_array_equal(np.asarray(a0), np.asarray(a1))
+    # active taper: full k results, high overlap with the untapered merge
+    v2, a2 = adc.scan_cell_major(*args, merge_taper=(2, 8), **kw)
+    a0n, a2n = np.asarray(a0), np.asarray(a2)
+    assert (a2n >= 0).all()
+    overlap = np.mean([len(set(a2n[i]) & set(a0n[i])) / 64
+                       for i in range(8)])
+    assert overlap >= 0.7, overlap

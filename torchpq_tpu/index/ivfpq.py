@@ -273,12 +273,12 @@ def _search_flat(q, decoded, norms, is_empty, addr_map, address2id, *,
     jax.jit,
     static_argnames=("k", "n_probe", "use_smart", "precision", "distance",
                      "s_max", "n_cells", "mode", "approx", "impl", "group",
-                     "probe_cap", "k_pair"))
+                     "probe_cap", "k_pair", "merge_taper"))
 def _search_full(q, coarse_codebook, decoded, norms, is_empty, cell_start,
                  cell_capacity, address2id, temperature, *, k, n_probe,
                  use_smart, precision, distance, s_max, n_cells, mode,
                  approx, impl="xla", group=1, scales=None, addr_map=None,
-                 probe_cap=None, k_pair=None):
+                 probe_cap=None, k_pair=None, merge_taper=None):
     """The whole query path in one jit: coarse scoring + probing + fused
     scan + id translation. One dispatch per search call — the reference pays
     one kernel launch per stage (IVFPQIndex.py:469-524); here XLA fuses the
@@ -302,7 +302,7 @@ def _search_full(q, coarse_codebook, decoded, norms, is_empty, cell_start,
             cell_capacity, k=k, distance=distance, s_max=s_max,
             n_cells=n_cells, approx=approx, impl=impl, group=group,
             scales=scales, precision=precision, probe_cap=probe_cap,
-            k_pair=k_pair)
+            k_pair=k_pair, merge_taper=merge_taper)
     if addr_map is not None:
         # scanning the compacted layout: translate back to storage addresses
         addr = jnp.where(addr >= 0, addr_map[jnp.maximum(addr, 0)], -1)
@@ -398,6 +398,13 @@ class IVFPQIndex(CellContainer):
         # recall; at large n_probe a smaller k_pair cuts the select passes,
         # unsort payload, and merge width ~linearly (ops/adc.py).
         self.scan_k_pair = None
+        # rank-tapered deep-k merge (None = off, or (p0, kp_tail)): the
+        # first p0 probed pairs keep all k_pair partial columns, the rest
+        # are truncated to kp_tail before the final merge. Pairs arrive
+        # coarse-rank-ordered, so tail pairs rarely hold deep winners —
+        # an ANN-semantics throughput knob like scan_probe_cap, recorded
+        # per sweep row (ops/adc.py:_merge_pairs).
+        self.scan_merge_taper = None
 
         cache_dtype = scan_cache_dtype or config.SCAN_CACHE_DTYPE
         # scan_cache_dtype="none": keep NO decoded cache — scans read the
@@ -1085,7 +1092,8 @@ class IVFPQIndex(CellContainer):
                 approx=self._use_approx_topk, impl=self.scan_impl,
                 group=self.scan_group, scales=sc, addr_map=amap,
                 probe_cap=self._resolved_probe_cap(n_probe),
-                k_pair=self.scan_k_pair)
+                k_pair=self.scan_k_pair,
+                merge_taper=self.scan_merge_taper)
             if return_address:
                 return vals, ids, addr
             return vals, ids
@@ -1101,7 +1109,8 @@ class IVFPQIndex(CellContainer):
             group=self.scan_group,
             scales=self.aux("scale")[:, 0] if self._int8_cache else None,
             probe_cap=self._resolved_probe_cap(n_probe),
-            k_pair=self.scan_k_pair)
+            k_pair=self.scan_k_pair,
+            merge_taper=self.scan_merge_taper)
         if return_address:
             return vals, ids, addr
         return vals, ids

@@ -454,7 +454,7 @@ def _block_select(scores, start_c, *, k_pair, s_eff, approx, pack32,
 
 def _merge_pairs(combo, query, pair_block, pair_slot, start_c_all, *,
                  b_max, p_tile, k, k_pair, nq, n_probe, pack32, slot_mask,
-                 key_neg_big, distance, big):
+                 key_neg_big, distance, big, merge_taper=None):
     """Unsort per-pair partial top-ks back to original pair order (one
     row-gather — pair_block/pair_slot are already in original pair order)
     and run the final per-query merge. combo: [b_max, p_tile, k_pair]
@@ -485,7 +485,39 @@ def _merge_pairs(combo, query, pair_block, pair_slot, start_c_all, *,
         # sweep). Exact top_k for k > 32 restores monotone deep-k recall;
         # k <= 32 keeps approx (k_pair == k runs are short, loss unmeasurable
         # — cell-major n_probe=128 @k=10 beats even the flat sweep's recall).
-        if kk < keys.shape[-1] and kk <= 32:
+        taper = None
+        if (merge_taper is not None and kk > 32
+                and n_probe > merge_taper[0]
+                and merge_taper[1] < k_pair):
+            # rank-tapered merge input (deep-k throughput knob): pairs
+            # arrive coarse-rank-ordered, so tail pairs rarely hold deep
+            # winners — keep all k_pair columns for the first p0 pairs and
+            # kp_tail for the rest. ANN-semantics knob like probe_cap
+            # (sweeps record recall per row); the reference's streaming
+            # merge pays ~nothing per candidate (ivfpq_topk.cu:763-819),
+            # this is the TPU-shaped economy of the same idea.
+            p0, kp_tail = merge_taper
+            kp_tail = max(kp_tail, util.cdiv(
+                max(kk - p0 * k_pair, 0), max(n_probe - p0, 1)))
+            taper = (p0, kp_tail)
+        if taper is not None:
+            p0, kp_tail = taper
+            keys3 = keys.reshape(nq, n_probe, k_pair)
+            keys_t = jnp.concatenate(
+                [keys3[:, :p0, :].reshape(nq, p0 * k_pair),
+                 keys3[:, p0:, :kp_tail].reshape(
+                     nq, (n_probe - p0) * kp_tail)], axis=1)
+            col2probe = jnp.concatenate([
+                jnp.arange(p0 * k_pair, dtype=jnp.int32) // k_pair,
+                p0 + jnp.arange((n_probe - p0) * kp_tail,
+                                dtype=jnp.int32) // kp_tail])
+            sel = _sortable_i32_f32(keys_t)
+            fvs, fi = jax.lax.top_k(sel, min(kk, keys_t.shape[-1]))
+            packed_w = jnp.take_along_axis(keys_t, fi, axis=1)
+            start_w = jnp.take_along_axis(starts_q, col2probe[fi], axis=1)
+            alive = fvs > -big / 2
+            kk = min(kk, keys_t.shape[-1])
+        elif kk < keys.shape[-1] and kk <= 32:
             sel = _sortable_i32_f32(keys)
             fvs, fi = jax.lax.approx_max_k(sel, kk)
             packed_w = jnp.take_along_axis(keys, fi, axis=1)
@@ -565,12 +597,12 @@ def _merge_pairs(combo, query, pair_block, pair_slot, start_c_all, *,
     jax.jit,
     static_argnames=("k", "distance", "s_max", "n_cells", "p_tile",
                      "block_chunk", "approx", "impl", "interpret", "group",
-                     "precision", "k_pair", "probe_cap"))
+                     "precision", "k_pair", "probe_cap", "merge_taper"))
 def scan_cell_major(query, cells, probe_mask, decoded, norms, is_empty,
                     cell_start, cell_capacity, *, k, distance, s_max, n_cells,
                     p_tile=128, block_chunk=8, approx=False, impl="xla",
                     interpret=False, group=1, scales=None, precision=None,
-                    k_pair=None, probe_cap=None):
+                    k_pair=None, probe_cap=None, merge_taper=None):
     """Inverted-probe-list grouped-matmul scan.
 
     Probed (query, cell) pairs are sorted by cell and packed into blocks of up
@@ -925,4 +957,5 @@ def scan_cell_major(query, cells, probe_mask, decoded, norms, is_empty,
         combo, query, pair_block, pair_slot, start_c_all,
         b_max=b_max, p_tile=p_tile, k=k, k_pair=k_pair, nq=nq,
         n_probe=n_probe, pack32=pack32, slot_mask=slot_mask,
-        key_neg_big=key_neg_big, distance=distance, big=big)
+        key_neg_big=key_neg_big, distance=distance, big=big,
+        merge_taper=merge_taper if pack32 else None)
