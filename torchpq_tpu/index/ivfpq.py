@@ -483,7 +483,7 @@ class IVFPQIndex(CellContainer):
         dec_dt = (jnp.float32 if self._code_domain
                   else self._aux["decoded"][1])
         chunk = min(cap, util.next_pow2(max(16384, (1 << 27) // max(d, 1))))
-        vq_rows = (self.vq_codec.kmeans._centroids[0]
+        vq_rows = (self._coarse_cb()
                    if self.pq_use_residual else None)
         rr_store, rr_cb = self._rerank_cache_parts()
         dec = (None if self._code_domain else jnp.zeros((cap, d), dec_dt))
@@ -688,7 +688,7 @@ class IVFPQIndex(CellContainer):
         l = self.spill_cells
         _, top = topk_sim(
             jnp.asarray(x).T.astype(jnp.float32),
-            self.vq_codec.kmeans._centroids[0], l, "euclidean",
+            self._coarse_cb(), l, "euclidean",
             approx=self._use_approx_topk)
         if self.spill_impl == "device":
             # device-resident routing (ops/spill.py): keeps the [n, l]
@@ -815,10 +815,10 @@ class IVFPQIndex(CellContainer):
         vals, addr = self._ivfpq_topk.topk(
             q, cells, probe_mask,
             self._storage if self._code_domain else self.aux("decoded"),
-            self.aux("norm")[:, 0], self._is_empty,
+            self._aux_col0("norm"), self._is_empty,
             self._cell_start, self._cell_capacity,
             k=int(k), distance=self.distance, s_max=self.max_cell_capacity,
-            scales=self.aux("scale")[:, 0] if self._int8_cache else None,
+            scales=self._aux_col0("scale") if self._int8_cache else None,
             mode=self.scan_mode, approx=self._use_approx_topk,
             impl=self.scan_impl, group=self.scan_group, precision=precision,
             pq_codebook=(self._scan_codebook
@@ -831,6 +831,45 @@ class IVFPQIndex(CellContainer):
         if return_address:
             return vals, ids, addr
         return vals, ids
+
+    def _aux_col0(self, name):
+        """Memoized 1-D view of a [cap, 1] aux store (norm/scale).
+
+        search() runs on the host's critical path: an eager `aux(x)[:, 0]`
+        slice per call costs a Python dispatch each (~2 ms on this 1-core
+        host x several eager ops = the measured ~18 ms per-search gap
+        between index.search and its jitted parts, r5 profile). Cached per
+        mutation counter like the flat/compact caches."""
+        ver = self._mutations
+        cache = self.__dict__.setdefault("_aux_col0_cache", {})
+        hit = cache.get(name)
+        if hit is not None and hit[0] == ver:
+            return hit[1]
+        arr = self.aux(name)[:, 0]
+        cache[name] = (ver, arr)
+        return arr
+
+    def _coarse_cb(self):
+        """Memoized [n_cells, d] coarse codebook view (the eager [0] slice
+        of the kmeans' [1, k, d] centroids costs a dispatch per call)."""
+        cents = self.vq_codec.kmeans._centroids
+        hit = self.__dict__.get("_coarse_cb_cache")
+        if hit is not None and hit[0] is cents:
+            return hit[1]
+        cb = cents[0]
+        self._coarse_cb_cache = (cents, cb)
+        return cb
+
+    def _temp_dev(self):
+        """Memoized device scalar of the smart-probing temperature (a
+        per-call jnp.float32() is an H2D + dispatch on the hot path)."""
+        t = float(self._smart_probing_temperature)
+        hit = self.__dict__.get("_temp_dev_cache")
+        if hit is not None and hit[0] == t:
+            return hit[1]
+        dev = jnp.float32(t)
+        self._temp_dev_cache = (t, dev)
+        return dev
 
     def _flat_compacted_codes(self):
         """(codes, norms, is_empty, addr_map, m_packed) with dead slots
@@ -1052,11 +1091,11 @@ class IVFPQIndex(CellContainer):
                     m=m_c)
             else:
                 vals, ids, addr = _search_full_codes(
-                    q, self.vq_codec.kmeans._centroids[0], self._storage,
-                    self.aux("norm")[:, 0], self._is_empty,
+                    q, self._coarse_cb(), self._storage,
+                    self._aux_col0("norm"), self._is_empty,
                     self._cell_start, self._cell_capacity,
                     self._address2id, self._scan_codebook,
-                    jnp.float32(self._smart_probing_temperature),
+                    self._temp_dev(),
                     k=int(k), n_probe=n_probe,
                     use_smart=self._use_smart_probing, precision=precision,
                     distance=self.distance, s_max=self.max_cell_capacity,
@@ -1082,9 +1121,9 @@ class IVFPQIndex(CellContainer):
             dec, nrm, emp, amap, sc, cs_live, sz_live, s_live = \
                 self._cell_compacted()
             vals, ids, addr = _search_full(
-                q, self.vq_codec.kmeans._centroids[0], dec, nrm, emp,
+                q, self._coarse_cb(), dec, nrm, emp,
                 cs_live, sz_live, self._address2id,
-                jnp.float32(self._smart_probing_temperature),
+                self._temp_dev(),
                 k=int(k), n_probe=n_probe,
                 use_smart=self._use_smart_probing, precision=precision,
                 distance=self.distance, s_max=s_live,
@@ -1098,16 +1137,16 @@ class IVFPQIndex(CellContainer):
                 return vals, ids, addr
             return vals, ids
         vals, ids, addr = _search_full(
-            q, self.vq_codec.kmeans._centroids[0],
-            self.aux("decoded"), self.aux("norm")[:, 0], self._is_empty,
+            q, self._coarse_cb(),
+            self.aux("decoded"), self._aux_col0("norm"), self._is_empty,
             self._cell_start, self._cell_capacity, self._address2id,
-            jnp.float32(self._smart_probing_temperature),
+            self._temp_dev(),
             k=int(k), n_probe=n_probe, use_smart=self._use_smart_probing,
             precision=precision, distance=self.distance,
             s_max=self.max_cell_capacity, n_cells=self.n_cells, mode=mode,
             approx=self._use_approx_topk, impl=self.scan_impl,
             group=self.scan_group,
-            scales=self.aux("scale")[:, 0] if self._int8_cache else None,
+            scales=self._aux_col0("scale") if self._int8_cache else None,
             probe_cap=self._resolved_probe_cap(n_probe),
             k_pair=self.scan_k_pair,
             merge_taper=self.scan_merge_taper)
