@@ -114,9 +114,11 @@ def main():
                                       cap=spill_cap, n_cells=args.n_cells)
         sizes = sizes + cnts
     counts_np = np.asarray(sizes).astype(np.int64)
+    # free the count pass's device leftovers before the big allocation
+    del x, top, cnts, sizes
     count_s = time.perf_counter() - t0
-    cap_np = np.maximum(np.exp2(np.ceil(np.log2(
-        np.maximum(counts_np, 16)))).astype(np.int64), 16)
+    g16 = np.where(np.maximum(counts_np, 16) < 128, 16, 128)
+    cap_np = (np.maximum(counts_np, 16) + g16 - 1) // g16 * g16
     print(f"[100m] count pass {count_s:.0f}s: max cell {counts_np.max():,}, "
           f"presized capacity {cap_np.sum():,} slots "
           f"({cap_np.sum() * m / 1e9:.2f} GB codes)", flush=True)

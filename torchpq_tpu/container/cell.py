@@ -382,18 +382,23 @@ class CellContainer(BaseContainer):
         over the whole store, amortized by power-of-two growth.
 
         `exact` (with `required`): round capacities to multiples of 16
-        instead of powers of two. Cell starts stay 16-aligned (the Pallas
-        window-DMA invariant needs only that), while capacity tracks the
-        true counts — the pow2 rounding's 1.3-1.5x HBM overhead is what
-        kept the 50M int8-cache tier from fitting one chip. Meant for the
+        (128 once >= 128, so the scan's s_eff window — the max capacity —
+        stays 128-lane aligned for the Pallas gate) instead of powers of
+        two. Cell starts stay 16-aligned (the Pallas window-DMA invariant
+        needs only that), while capacity tracks the true counts — the
+        pow2 rounding's 1.3-1.5x HBM overhead is what kept the 50M
+        int8-cache tier from fitting one chip. Meant for the
         presize-before-ingest path (one relayout while the store is tiny);
         organic growth keeps pow2 for bounded recompilation.
         """
         new_caps = self._cell_capacity_np.copy()
         if required is not None:
             for c, req in required.items():
-                rounded = (util.round_up(max(int(req), 16), 16) if exact
-                           else util.next_pow2(int(req)))
+                if exact:
+                    r = max(int(req), 16)
+                    rounded = util.round_up(r, 16 if r < 128 else 128)
+                else:
+                    rounded = util.next_pow2(int(req))
                 new_caps[c] = max(rounded, new_caps[c])
         elif cells is not None:
             for c in np.unique(np.asarray(cells)):
