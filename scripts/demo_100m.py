@@ -147,12 +147,22 @@ def main():
 
     best_v = jnp.full((args.nq, args.k), -jnp.inf, jnp.float32)
     best_i = jnp.full((args.nq, args.k), -1, jnp.int32)
+    # GT sub-chunking: one [nq, chunk] similarity matrix + its concat
+    # transients peak ~3 GB at chunk=1M — on the int8 tier's ~10.7 GB
+    # state that was the r5 50M OOM. 125k sub-slices cap the GT transient
+    # at ~0.4 GB; the running top-k absorbs them identically.
+    gt_sub = 125_000
+    while args.chunk % gt_sub:
+        gt_sub //= 2
     t0 = time.perf_counter()
     added = 0
     for c0 in range(0, args.n, args.chunk):
         nchunk = min(args.chunk, args.n - c0)
         x = chunk_data(jax.random.PRNGKey(c0 // args.chunk), nchunk, d)
-        best_v, best_i = gt_step(queries, x, jnp.int32(c0), best_v, best_i)
+        for s0 in range(0, nchunk, gt_sub):
+            best_v, best_i = gt_step(
+                queries, jax.lax.dynamic_slice_in_dim(x, s0, gt_sub),
+                jnp.int32(c0 + s0), best_v, best_i)
         index.add(x.T)
         added += nchunk
         if (c0 // args.chunk) % 10 == 0:
