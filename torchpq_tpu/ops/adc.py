@@ -257,8 +257,10 @@ _COUNTING_PACK_BYTES = 256 * 1024 * 1024
 # the f32 source array — the r4 100M serving failure: 4.61 GB of the
 # 5.18 GB AOT temp was exactly this copy). Above the budget the rows are
 # staged by per-block 1-D dynamic slices instead (1-D operands never
-# re-lay; temp stays at b_max * s_eff).
-_PEN_GATHER_BYTES = 1 << 30
+# re-lay; temp stays at b_max * s_eff). The budget bounds the PADDED copy
+# (8x the source): 128 MB of norms -> a 1 GB transient; the 1M bench
+# shape (17 MB) keeps the measured-fastest gather staging.
+_PEN_GATHER_BYTES = 1 << 27
 
 
 def _stage_rows16(arr, rows16, b_max, s_eff):
