@@ -649,12 +649,11 @@ def scan_cell_major(query, cells, probe_mask, decoded, norms, is_empty,
         sup = jnp.where(probe_mask, cells // group, n_super)
         # rank-preserving first-occurrence dedup (two probed cells may
         # share a supercell), so surviving entries keep their coarse rank
-        if n_probe <= 64:
+        if n_probe <= 128:
             # [np, np] strict-lower compare per row — VPU-trivial at this
-            # width, no sort. Threshold 64: at n_probe=128 the quadratic
-            # [nq, 128, 128] compare measured inside a 42 ms group+cap
-            # stage (r5 deepk128 profile) while the stable-sort path costs
-            # two [nq, np] sorts.
+            # width, no sort. (r5 tried dropping the threshold to 64 —
+            # the stable-sort path at n_probe=128 measured SLOWER on the
+            # bench: np=128 k=10 85.4k -> 72.1k q/s; reverted.)
             prior = jnp.tril(jnp.ones((n_probe, n_probe), bool), k=-1)
             dup = jnp.any((sup[:, :, None] == sup[:, None, :]) & prior[None],
                           axis=-1)
