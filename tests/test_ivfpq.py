@@ -34,11 +34,12 @@ def test_scan_matches_lut_oracle(rng):
         jnp.float32(30.0), n_probe=n_probe, use_smart=False, precision=None)
     lut = adc.build_adc_table(jnp.asarray(q), index.pq_codec.codebook_internal,
                               "euclidean")
-    codes = np.asarray(index._storage)
+    all_rows = index.storage_rows(
+        jnp.arange(index.capacity, dtype=jnp.int32))  # pack-aware view
     starts = np.asarray(index._cell_start)
     caps = np.asarray(index._cell_capacity)
     empty = np.asarray(index._is_empty)
-    scores_all = np.asarray(adc.adc_lookup_scores(lut, index._storage))
+    scores_all = np.asarray(adc.adc_lookup_scores(lut, all_rows))
     want_vals = np.full((nq, k), -np.inf, np.float32)
     for qi in range(nq):
         cand = []

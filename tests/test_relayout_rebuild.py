@@ -22,7 +22,9 @@ def _check_decoded_cache(index, residual, rerank=False):
     reconstruction)."""
     live = np.flatnonzero(~np.asarray(index._is_empty))
     assert len(live) == index.n_items
-    codes = np.asarray(index._storage)[live]
+    # storage_rows is pack-aware (cache tiers store lane-packed rows too
+    # since r5 — the unpacked view is an accessor, not the layout)
+    codes = np.asarray(index.storage_rows(jnp.asarray(live)))
     dec = np.asarray(index.pq_codec.decode_nd(jnp.asarray(codes)))
     if residual:
         starts = np.asarray(index._cell_start)
@@ -79,7 +81,7 @@ def test_expand_preserves_rerank_codes(rng):
     addr = jnp.asarray(live[:64])
     ids_at = np.asarray(index.get_id_by_address(addr))
     orig = x.T[ids_at]  # [64, d] original vectors for those rows
-    codes = index._storage[addr]
+    codes = index.storage_rows(addr)  # pack-aware view
     dec1 = np.asarray(index.pq_codec.decode_nd(codes))
     expect_r = np.asarray(index.rerank_codec.encode_nd(
         jnp.asarray(orig - dec1)))

@@ -344,11 +344,19 @@ class IVFPQIndex(CellContainer):
         _eligible = (code_bytes >= 8 and code_bytes < 128
                      and 128 % code_bytes == 0)
         if pack_ingest is None:
-            pack_ingest = _code_domain and _eligible
+            # round 5: packed storage is the default for EVERY eligible
+            # 8-bit index, not just the code-domain tier — the unpacked
+            # [cap, m<128] u8 store hits the lane-padding layout wall in
+            # the ADD path's scatter at multi-GB scale (donation fails on
+            # the padded layout; the 50M int8-tier build OOMed on a
+            # ~6.7 GB transient of its own 3.35 GB codes). Scans of cache
+            # tiers never read the codes, and every codes reader
+            # (relayout, cache rebuild, storage_rows, save/load) is
+            # pack-aware.
+            pack_ingest = _eligible and (n_bits == 8 or _code_domain)
         elif pack_ingest:
-            assert _code_domain and _eligible, \
-                "pack_ingest requires scan_cache_dtype='none' and " \
-                "8 <= code bytes < 128 dividing 128"
+            assert _eligible, \
+                "pack_ingest requires 8 <= code bytes < 128 dividing 128"
         super().__init__(
             code_size=code_bytes, n_cells=n_cells, dtype="uint8",
             device=device, initial_size=initial_size,
