@@ -966,12 +966,16 @@ class IVFPQIndex(CellContainer):
         ver = self._mutations
         if self._flat_cache is not None and self._flat_cache[0] == ver:
             return self._flat_cache[1]
-        scales = self.aux("scale")[:, 0] if self._int8_cache else None
+        scales = self._aux_col0("scale") if self._int8_cache else None
         n = max(int(self.n_items), 1)
         unit = 131072 if n > 131072 else 2048
         n_pad = util.round_up(n, unit)
-        if n_pad >= self.capacity:
-            res = (self.aux("decoded"), self.aux("norm")[:, 0],
+        # passthrough unless compaction removes a meaningful fraction:
+        # under exact presize capacity is ~1.05x n_items, and the full
+        # cache copy (6.7 GB at the 50M int8 demo) OOMed to save 5% of
+        # sweep width
+        if n_pad * 8 >= self.capacity * 7:
+            res = (self.aux("decoded"), self._aux_col0("norm"),
                    self._is_empty, None, scales)
         elif self._use_compact_scan():
             # share the cell-aware layout instead of keeping two copies
