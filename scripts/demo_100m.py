@@ -273,11 +273,17 @@ def main():
     for nq2 in (args.nq_list or ()):
         if nq2 == args.nq:
             continue
-        if nq2 <= args.nq:
-            q2 = qj[:, :nq2]
-        else:
-            reps_n = -(-nq2 // args.nq)
-            q2 = jnp.tile(qj, (1, reps_n))[:, :nq2]
+        try:
+            if nq2 <= args.nq:
+                q2 = qj[:, :nq2]
+            else:
+                reps_n = -(-nq2 // args.nq)
+                q2 = jnp.tile(qj, (1, reps_n))[:, :nq2]
+            jax.block_until_ready(q2)
+        except Exception as e:  # device pressure must not kill later rows
+            print(f"[100m] nq={nq2} staging failed: {str(e)[:120]}",
+                  flush=True)
+            continue
         for n_probe in (1, 8, 32):
             one_row(n_probe, q2, nq2)
 
