@@ -51,7 +51,7 @@ def test_code_scan_matches_decoded_scan(rng, distance):
                                    approx=False, **kw)
     v_c, a_c = scan_cell_major_codes(*common, index._storage, *tail,
                                      index.pq_codec.codebook_internal,
-                                     approx=False, **kw)
+                                     approx=False, m=_m(index), **kw)
     a_d, a_c = np.asarray(a_d), np.asarray(a_c)
     # bf16 LUT rounding can flip near-ties; demand near-total agreement
     overlap = np.mean([len(set(a_c[i]) & set(a_d[i])) / k
@@ -171,7 +171,7 @@ def test_gather_windows_path_matches_slice_path(rng, monkeypatch):
               index._is_empty, index._cell_start, index._cell_capacity,
               index.pq_codec.codebook_internal)
     kw = dict(k=k, distance="euclidean", s_max=index.max_cell_capacity,
-              n_cells=8, approx=False)
+              n_cells=8, approx=False, m=_m(index))
     v_s, a_s = scan_cell_major_codes(*common, **kw)
     monkeypatch.setattr(config, "CODES_GATHER_BYTES", 0)
     scan_cell_major_codes._clear_cache()
@@ -182,7 +182,8 @@ def test_gather_windows_path_matches_slice_path(rng, monkeypatch):
 
     pen = jnp.where(index._is_empty, jnp.finfo(jnp.float32).max / 4,
                     index.aux("norm")[:, 0])
-    fkw = dict(k=k, distance="euclidean", approx=False, chunk=512)
+    fkw = dict(k=k, distance="euclidean", approx=False, chunk=512,
+               m=_m(index))
     vf_g, af_g = flat_decode_scan(q, index._storage, pen,
                                   index.pq_codec.codebook_internal, **fkw)
     monkeypatch.setattr(config, "CODES_GATHER_BYTES", 1 << 31)

@@ -221,3 +221,22 @@ def test_packed_row_write_matches_elementwise(rng):
         out = np.asarray(_packed_row_write(
             jnp.asarray(storage), jnp.asarray(addr), jnp.asarray(data), g))
         np.testing.assert_array_equal(out, ref, err_msg=f"g={g}")
+
+
+class TestExactPresize:
+    def test_expand_exact_16_128_multiples(self, rng):
+        """expand(required=..., exact=True): capacities round to 16 (128
+        once >= 128) instead of pow2; starts stay 16-aligned and adds/
+        searches work on the exact layout (the 50M/100M demo presize)."""
+        c = CellContainer(code_size=8, n_cells=4, initial_size=64,
+                          dtype="uint8")
+        c.expand(required={0: 150, 1: 20, 2: 700}, exact=True)
+        caps = np.asarray(c._cell_capacity)
+        assert caps[0] == 256 and caps[1] == 64 and caps[2] == 768, caps
+        starts = np.asarray(c._cell_start)
+        assert (starts % 16 == 0).all()
+        d = rng.integers(0, 255, size=(8, 40)).astype(np.uint8)
+        cells = jnp.asarray(np.repeat(np.arange(4), 10))
+        ids, addr = c.add(jnp.asarray(d), cells=cells, return_address=True)
+        got = np.asarray(c.get_data_by_address(addr))
+        np.testing.assert_array_equal(got, d)
