@@ -435,3 +435,40 @@ def test_deep_k_wide_merge_matches_bruteforce(rng):
         len(np.intersect1d(a, b)) / k
         for a, b in zip(np.asarray(got_pack), want_ids)])
     assert overlap > 0.95, f"pack32 wide-merge overlap {overlap}"
+
+
+def test_super_probe_matches_dedup_path(rng):
+    """Supercell-native probing (scan_super_probe, the default) vs the
+    cell-level dedup+cap path: when every supercell is probed by both
+    (n_probe covers all cells, cap = n_super), the scanned sets coincide
+    and results must be identical; at a tighter cap the two selections
+    still overlap almost everywhere (cell rank IS score rank)."""
+    index, x, ids = _make_index(rng, d=64, m=8, n_cells=16, n=1500)
+    index.use_smart_probing = False
+    index.use_approx_topk = True
+    index.scan_mode = "cell_major"
+    index.scan_group = 4
+    index.n_probe = 16
+    index.scan_probe_cap = 4  # == n_super: both paths scan everything
+    q = rng.normal(size=(11, 64)).astype(np.float32)
+
+    assert index.scan_super_probe
+    v_sup, i_sup = index.search(jnp.asarray(q.T), k=10)
+    index.scan_super_probe = False
+    v_ded, i_ded = index.search(jnp.asarray(q.T), k=10)
+    np.testing.assert_array_equal(np.asarray(i_sup), np.asarray(i_ded))
+    np.testing.assert_allclose(np.asarray(v_sup), np.asarray(v_ded),
+                               rtol=1e-5, atol=1e-5)
+
+    # tighter cap: selections may differ on ties but overlap nearly always
+    index.scan_probe_cap = 2
+    index.scan_super_probe = True
+    _, i_sup2 = index.search(jnp.asarray(q.T), k=10)
+    index.scan_super_probe = False
+    _, i_ded2 = index.search(jnp.asarray(q.T), k=10)
+    overlap = np.mean([
+        len(np.intersect1d(a, b)) / 10
+        for a, b in zip(np.asarray(i_sup2), np.asarray(i_ded2))])
+    assert overlap > 0.8, f"super-probe overlap {overlap}"
+    index.scan_super_probe = True
+    index.scan_probe_cap = None

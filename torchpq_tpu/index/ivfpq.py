@@ -70,6 +70,55 @@ def _coarse_probe(query, coarse_codebook, temperature, *, n_probe, use_smart,
     return topk_sims, cells.astype(jnp.int32), mask
 
 
+@functools.partial(
+    jax.jit, static_argnames=("cap", "group", "n_cells", "use_smart",
+                              "precision", "approx"))
+def _coarse_probe_super(query, coarse_codebook, temperature, *, cap, group,
+                        n_cells, use_smart, precision, approx=False):
+    """Supercell-native coarse probing (the scan_group>1 + probe_cap path).
+
+    The capped supercell scan wants each query's best `cap` DISTINCT
+    supercells; deriving them from cell-level probes costs a top-n_probe
+    select over n_cells plus a dedup and a cap argsort inside
+    scan_cell_major's group>1 preprocessing. Ranking supercells directly
+    by the max of their member cells' coarse scores yields the IDENTICAL
+    set whenever the probed cells span >= cap distinct supercells (cell
+    rank IS score rank, so first-occurrence dedup order == supercell
+    max-score order) and a fuller set otherwise (the dedup path comes up
+    short, this one always fills `cap`) — the scanned volume per query is
+    the same `cap` windows, so recall only moves up. One group-max
+    reshape + one top-cap select replaces all three sorts.
+
+    Smart probing mirrors _coarse_probe's entropy rule (reference
+    IVFPQIndex.py:483-512) on the supercell score list, normalized by
+    log2(cap)."""
+    sims = negative_squared_l2_distance(query, coarse_codebook,
+                                        precision=precision)
+    n_super = util.cdiv(n_cells, group)
+    pad = n_super * group - n_cells
+    if pad:
+        sims = jnp.pad(sims, ((0, 0), (0, pad)),
+                       constant_values=-jnp.inf)
+    sup_sims = jnp.max(sims.reshape(sims.shape[0], n_super, group), axis=-1)
+    if approx and cap < n_super:
+        top_sims, sup = jax.lax.approx_max_k(
+            sup_sims, cap, recall_target=config.COARSE_RECALL_TARGET)
+    else:
+        top_sims, sup = jax.lax.top_k(sup_sims, min(cap, n_super))
+    if use_smart and cap > 1:
+        p = jax.nn.softmax(-jnp.sqrt(jnp.abs(top_sims)) / temperature,
+                           axis=-1)
+        log2p = jnp.log2(jnp.maximum(p, 1e-30))
+        normalized_entropy = -jnp.sum(
+            p * log2p / jnp.log2(float(max(cap, 2))), axis=-1)
+        n_list = jnp.clip(
+            jnp.ceil(normalized_entropy * cap).astype(jnp.int32), 1, cap)
+        mask = jnp.arange(sup.shape[1])[None, :] < n_list[:, None]
+    else:
+        mask = jnp.ones(sup.shape, bool)
+    return top_sims, sup.astype(jnp.int32), mask
+
+
 @functools.partial(jax.jit, static_argnames=("n_pad",))
 def _compact_cells_cache(decoded, norms, scales, is_empty, cell_start,
                          new_start, *, n_pad):
@@ -273,12 +322,13 @@ def _search_flat(q, decoded, norms, is_empty, addr_map, address2id, *,
     jax.jit,
     static_argnames=("k", "n_probe", "use_smart", "precision", "distance",
                      "s_max", "n_cells", "mode", "approx", "impl", "group",
-                     "probe_cap", "k_pair", "merge_taper"))
+                     "probe_cap", "k_pair", "merge_taper", "super_probe"))
 def _search_full(q, coarse_codebook, decoded, norms, is_empty, cell_start,
                  cell_capacity, address2id, temperature, *, k, n_probe,
                  use_smart, precision, distance, s_max, n_cells, mode,
                  approx, impl="xla", group=1, scales=None, addr_map=None,
-                 probe_cap=None, k_pair=None, merge_taper=None):
+                 probe_cap=None, k_pair=None, merge_taper=None,
+                 super_probe=False):
     """The whole query path in one jit: coarse scoring + probing + fused
     scan + id translation. One dispatch per search call — the reference pays
     one kernel launch per stage (IVFPQIndex.py:469-524); here XLA fuses the
@@ -288,9 +338,21 @@ def _search_full(q, coarse_codebook, decoded, norms, is_empty, cell_start,
     compacted cache — this function only runs the probing scans.)"""
     from ..ops import adc
     assert mode != "flat", "flat-mode searches go through _search_flat"
-    _, cells, mask = _coarse_probe(
-        q, coarse_codebook, temperature, n_probe=n_probe,
-        use_smart=use_smart, precision=precision, approx=approx)
+    use_super = (super_probe and mode == "cell_major" and group > 1
+                 and probe_cap is not None and probe_cap < n_probe
+                 and approx)
+    if use_super:
+        # supercell-native probing: select the top probe_cap supercells
+        # directly from group-max coarse scores — same scanned volume as
+        # the dedup+cap path, three sorts cheaper (see _coarse_probe_super)
+        _, cells, mask = _coarse_probe_super(
+            q, coarse_codebook, temperature, cap=probe_cap, group=group,
+            n_cells=n_cells, use_smart=use_smart, precision=precision,
+            approx=approx)
+    else:
+        _, cells, mask = _coarse_probe(
+            q, coarse_codebook, temperature, n_probe=n_probe,
+            use_smart=use_smart, precision=precision, approx=approx)
     if mode == "query_major":
         vals, addr = adc.scan_query_major(
             q, cells, mask, decoded, norms, is_empty, cell_start,
@@ -301,8 +363,9 @@ def _search_full(q, coarse_codebook, decoded, norms, is_empty, cell_start,
             q, cells, mask, decoded, norms, is_empty, cell_start,
             cell_capacity, k=k, distance=distance, s_max=s_max,
             n_cells=n_cells, approx=approx, impl=impl, group=group,
-            scales=scales, precision=precision, probe_cap=probe_cap,
-            k_pair=k_pair, merge_taper=merge_taper)
+            scales=scales, precision=precision,
+            probe_cap=None if use_super else probe_cap,
+            k_pair=k_pair, merge_taper=merge_taper, pre_grouped=use_super)
     if addr_map is not None:
         # scanning the compacted layout: translate back to storage addresses
         addr = jnp.where(addr >= 0, addr_map[jnp.maximum(addr, 0)], -1)
@@ -413,6 +476,13 @@ class IVFPQIndex(CellContainer):
         # an ANN-semantics throughput knob like scan_probe_cap, recorded
         # per sweep row (ops/adc.py:_merge_pairs).
         self.scan_merge_taper = None
+        # supercell-native probing (on by default): when grouping + a
+        # probe cap are engaged, select the top-cap supercells directly
+        # from group-max coarse scores instead of deduping cell-level
+        # probes — identical scanned volume, same-or-fuller probed set,
+        # three sorts cheaper (_coarse_probe_super). Opt-out switch for
+        # A/B against the cell-level dedup path.
+        self.scan_super_probe = True
 
         cache_dtype = scan_cache_dtype or config.SCAN_CACHE_DTYPE
         # scan_cache_dtype="none": keep NO decoded cache — scans read the
@@ -1144,7 +1214,8 @@ class IVFPQIndex(CellContainer):
                 group=self.scan_group, scales=sc, addr_map=amap,
                 probe_cap=self._resolved_probe_cap(n_probe),
                 k_pair=self.scan_k_pair,
-                merge_taper=self.scan_merge_taper)
+                merge_taper=self.scan_merge_taper,
+                super_probe=self.scan_super_probe)
             if return_address:
                 return vals, ids, addr
             return vals, ids
@@ -1161,7 +1232,8 @@ class IVFPQIndex(CellContainer):
             scales=self._aux_col0("scale") if self._int8_cache else None,
             probe_cap=self._resolved_probe_cap(n_probe),
             k_pair=self.scan_k_pair,
-            merge_taper=self.scan_merge_taper)
+            merge_taper=self.scan_merge_taper,
+            super_probe=self.scan_super_probe)
         if return_address:
             return vals, ids, addr
         return vals, ids

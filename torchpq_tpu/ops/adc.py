@@ -469,13 +469,7 @@ def _merge_pairs(combo, query, pair_block, pair_slot, start_c_all, *,
     kk = min(k, n_probe * k_pair)
 
     if pack32:
-        # flattened row index: XLA lowers the 1-D row gather measurably
-        # faster than the equivalent 2-D [bo, so] gather
-        pc = combo.reshape(b_max * p_tile, k_pair)[
-            bo_safe * p_tile + so]  # [n_pairs, k_pair], original pair order
-        out = jnp.where(live[:, None], pc, key_neg_big)
         pair_start = jnp.where(live, start_c_all[bo_safe], 0)  # [n_pairs]
-        keys = out.reshape(nq, n_probe * k_pair)
         starts_q = pair_start.reshape(nq, n_probe)
         # selection on the decoded (noisy-low-bits) values — monotone in the
         # packed keys, so ranking matches an int32 sort of the keys.
@@ -502,13 +496,27 @@ def _merge_pairs(combo, query, pair_block, pair_slot, start_c_all, *,
             kp_tail = max(kp_tail, util.cdiv(
                 max(kk - p0 * k_pair, 0), max(n_probe - p0, 1)))
             taper = (p0, kp_tail)
+        # flattened row index: XLA lowers the 1-D row gather measurably
+        # faster than the equivalent 2-D [bo, so] gather
+        tbl = combo.reshape(b_max * p_tile, k_pair)
+        rows = (bo_safe * p_tile + so).reshape(nq, n_probe)
+        live2 = live.reshape(nq, n_probe)
         if taper is not None:
             p0, kp_tail = taper
-            keys3 = keys.reshape(nq, n_probe, k_pair)
+            # taper-aware SPLIT unsort: tail pairs only ever contribute
+            # their first kp_tail columns to the merge, so gather them at
+            # kp_tail width from a pre-sliced table instead of unsorting
+            # every pair at full k_pair width and slicing afterwards.
+            # Cuts the unsort-gather payload (the dominant XLA glue cost
+            # at deep k) by ~k_pair/kp_tail on (n_probe-p0)/n_probe of
+            # the rows; results are bit-identical to the full gather.
+            head = jnp.where(live2[:, :p0, None], tbl[rows[:, :p0]],
+                             key_neg_big)
+            tail = jnp.where(live2[:, p0:, None],
+                             tbl[:, :kp_tail][rows[:, p0:]], key_neg_big)
             keys_t = jnp.concatenate(
-                [keys3[:, :p0, :].reshape(nq, p0 * k_pair),
-                 keys3[:, p0:, :kp_tail].reshape(
-                     nq, (n_probe - p0) * kp_tail)], axis=1)
+                [head.reshape(nq, p0 * k_pair),
+                 tail.reshape(nq, (n_probe - p0) * kp_tail)], axis=1)
             col2probe = jnp.concatenate([
                 jnp.arange(p0 * k_pair, dtype=jnp.int32) // k_pair,
                 p0 + jnp.arange((n_probe - p0) * kp_tail,
@@ -519,41 +527,44 @@ def _merge_pairs(combo, query, pair_block, pair_slot, start_c_all, *,
             start_w = jnp.take_along_axis(starts_q, col2probe[fi], axis=1)
             alive = fvs > -big / 2
             kk = min(kk, keys_t.shape[-1])
-        elif kk < keys.shape[-1] and kk <= 32:
-            sel = _sortable_i32_f32(keys)
-            fvs, fi = jax.lax.approx_max_k(sel, kk)
-            packed_w = jnp.take_along_axis(keys, fi, axis=1)
-            start_w = jnp.take_along_axis(starts_q, fi // k_pair, axis=1)
-            alive = fvs > -big / 2
-        elif n_probe * k_pair < 2048:
-            # deep k, narrow merges: the per-pair lists are descending
-            # runs (top_k / aggregated approx_max_k emit winners
-            # best-first), so merge them with a truncated bitonic tree —
-            # the TPU counterpart of the reference's in-register
-            # streaming merge (ivfpq_topk.cu:763-931). Packed keys can
-            # hold local inversions where masked values tie (order falls
-            # to the slot bits), but an int32 comparator refines the
-            # masked-key order, so the merged top-kk is exact in
-            # masked-key space — the same space lax.top_k over the
-            # decoded keys ranked in.
-            packed_w, pidx = bitonic.merge_runs_topk(
-                keys.reshape(nq, n_probe, k_pair),
-                jnp.broadcast_to(
-                    jnp.arange(n_probe, dtype=jnp.int32)[None, :, None],
-                    (nq, n_probe, k_pair)), kk)
-            start_w = jnp.take_along_axis(starts_q, pidx, axis=1)
-            alive = _sortable_i32_f32(packed_w) > -big / 2
         else:
-            # deep k, wide merges: past ~2k columns lax.top_k's single
-            # fused sort beats the bitonic tree's log2(runs) full-width
-            # rounds (measured [10k, 4096]: 39.9 ms vs 62.4 ms; [10k,
-            # 2048]: 24.4 vs 27.5 — r4 profile_deepk). Same exactness
-            # argument: top_k ranks the masked-key space.
-            sel = _sortable_i32_f32(keys)
-            fvs, fi = jax.lax.top_k(sel, kk)
-            packed_w = jnp.take_along_axis(keys, fi, axis=1)
-            start_w = jnp.take_along_axis(starts_q, fi // k_pair, axis=1)
-            alive = fvs > -big / 2
+            keys = jnp.where(live2[:, :, None], tbl[rows],
+                             key_neg_big).reshape(nq, n_probe * k_pair)
+            if kk < keys.shape[-1] and kk <= 32:
+                sel = _sortable_i32_f32(keys)
+                fvs, fi = jax.lax.approx_max_k(sel, kk)
+                packed_w = jnp.take_along_axis(keys, fi, axis=1)
+                start_w = jnp.take_along_axis(starts_q, fi // k_pair, axis=1)
+                alive = fvs > -big / 2
+            elif n_probe * k_pair < 2048:
+                # deep k, narrow merges: the per-pair lists are descending
+                # runs (top_k / aggregated approx_max_k emit winners
+                # best-first), so merge them with a truncated bitonic tree —
+                # the TPU counterpart of the reference's in-register
+                # streaming merge (ivfpq_topk.cu:763-931). Packed keys can
+                # hold local inversions where masked values tie (order falls
+                # to the slot bits), but an int32 comparator refines the
+                # masked-key order, so the merged top-kk is exact in
+                # masked-key space — the same space lax.top_k over the
+                # decoded keys ranked in.
+                packed_w, pidx = bitonic.merge_runs_topk(
+                    keys.reshape(nq, n_probe, k_pair),
+                    jnp.broadcast_to(
+                        jnp.arange(n_probe, dtype=jnp.int32)[None, :, None],
+                        (nq, n_probe, k_pair)), kk)
+                start_w = jnp.take_along_axis(starts_q, pidx, axis=1)
+                alive = _sortable_i32_f32(packed_w) > -big / 2
+            else:
+                # deep k, wide merges: past ~2k columns lax.top_k's single
+                # fused sort beats the bitonic tree's log2(runs) full-width
+                # rounds (measured [10k, 4096]: 39.9 ms vs 62.4 ms; [10k,
+                # 2048]: 24.4 vs 27.5 — r4 profile_deepk). Same exactness
+                # argument: top_k ranks the masked-key space.
+                sel = _sortable_i32_f32(keys)
+                fvs, fi = jax.lax.top_k(sel, kk)
+                packed_w = jnp.take_along_axis(keys, fi, axis=1)
+                start_w = jnp.take_along_axis(starts_q, fi // k_pair, axis=1)
+                alive = fvs > -big / 2
         slot = packed_w & jnp.int32(slot_mask)
         fv = _sortable_i32_f32(packed_w & jnp.int32(~slot_mask))
         fa = jnp.where(alive, start_w + slot, -1)
@@ -599,12 +610,14 @@ def _merge_pairs(combo, query, pair_block, pair_slot, start_c_all, *,
     jax.jit,
     static_argnames=("k", "distance", "s_max", "n_cells", "p_tile",
                      "block_chunk", "approx", "impl", "interpret", "group",
-                     "precision", "k_pair", "probe_cap", "merge_taper"))
+                     "precision", "k_pair", "probe_cap", "merge_taper",
+                     "pre_grouped"))
 def scan_cell_major(query, cells, probe_mask, decoded, norms, is_empty,
                     cell_start, cell_capacity, *, k, distance, s_max, n_cells,
                     p_tile=128, block_chunk=8, approx=False, impl="xla",
                     interpret=False, group=1, scales=None, precision=None,
-                    k_pair=None, probe_cap=None, merge_taper=None):
+                    k_pair=None, probe_cap=None, merge_taper=None,
+                    pre_grouped=False):
     """Inverted-probe-list grouped-matmul scan.
 
     Probed (query, cell) pairs are sorted by cell and packed into blocks of up
@@ -646,10 +659,22 @@ def scan_cell_major(query, cells, probe_mask, decoded, norms, is_empty,
         cap_total_ = decoded.shape[0]
         super_cap = jnp.diff(jnp.concatenate(
             [super_start, jnp.array([cap_total_], super_start.dtype)]))
-        sup = jnp.where(probe_mask, cells // group, n_super)
+        if pre_grouped:
+            # `cells` already holds DISTINCT supercell ids per query (the
+            # caller probed supercells directly: group-max coarse scores +
+            # one top-cap select — index._coarse_probe_super). The whole
+            # cell-level dedup + probe-cap preprocessing (two [nq, np]
+            # argsorts / a quadratic compare) vanishes.
+            cells = jnp.where(probe_mask, cells, n_super).astype(jnp.int32)
+            probe_mask = cells < n_super
+            sup = None
+        else:
+            sup = jnp.where(probe_mask, cells // group, n_super)
         # rank-preserving first-occurrence dedup (two probed cells may
         # share a supercell), so surviving entries keep their coarse rank
-        if n_probe <= 128:
+        if pre_grouped:
+            pass
+        elif n_probe <= 128:
             # [np, np] strict-lower compare per row — VPU-trivial at this
             # width, no sort. (r5 tried dropping the threshold to 64 —
             # the stable-sort path at n_probe=128 measured SLOWER on the
@@ -670,9 +695,10 @@ def scan_cell_major(query, cells, probe_mask, decoded, norms, is_empty,
                  s_sorted[:, 1:] == s_sorted[:, :-1]], axis=1)
             inv = jnp.argsort(order, axis=1)
             dup = jnp.take_along_axis(dup_sorted, inv, axis=1)
-        cells = jnp.where(dup, n_super, sup).astype(jnp.int32)
-        probe_mask = cells < n_super
-        if probe_cap is not None and probe_cap < n_probe:
+        if not pre_grouped:
+            cells = jnp.where(dup, n_super, sup).astype(jnp.int32)
+            probe_mask = cells < n_super
+        if not pre_grouped and probe_cap is not None and probe_cap < n_probe:
             # static probe-axis truncation: keep each query's best-ranked
             # `probe_cap` DISTINCT supercells. With locality-ordered cell
             # ids (util.locality_order) a query's n_probe cells collapse
