@@ -228,6 +228,7 @@ def main():
         "cache": args.cache, "spill": not args.no_spill,
         "scan_group": args.scan_group, "probe_cap": args.probe_cap,
         "k_pair": args.k_pair, "merge_taper": args.merge_taper,
+        "super_probe": bool(getattr(index, "scan_super_probe", False)),
         "initial_mult": args.initial_mult,
         "scan_impl": index.scan_impl, "s_max": int(index.max_cell_capacity),
         "train_s": round(train_s, 2), "add_s": round(add_s, 2),
