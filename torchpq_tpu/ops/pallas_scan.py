@@ -84,6 +84,22 @@ QTABLE_VMEM_BYTES = 4 * 1024 * 1024
 QTABLE_MAC_RATIO = 2.0
 
 
+def _deep_select_groups():
+    """Approx-select bin-count preference for deep selects (k_pair > 32).
+
+    Every select pass reduces a [p, n_groups] row, so halving the bins
+    halves the per-pass width at the cost of more birthday collisions
+    among true winners (~30 winners: 512 bins lose ~0.85, 256 ~1.7).
+    TORCHPQ_DEEP_GROUPS overrides the preference order for per-process
+    A/B sweeps (the jit cache is per-process, so an env knob is safe
+    where a runtime global would alias cached traces)."""
+    import os
+    env = os.environ.get("TORCHPQ_DEEP_GROUPS")
+    if env:
+        return (int(env),)
+    return (512, 256, 128)
+
+
 def _select_topk(scores, k_pair, width, big, start, slot_mask, pack32,
                  rbest=None, n_groups=None):
     """k_pair unrolled max passes over [p, width] scores.
@@ -318,7 +334,7 @@ def scan_blocks_pallas(qvecs, start_all, pen_all, decoded, *, s_eff, k_pair,
         # extra pass width is 4 vregs/row instead of 1, still VPU-cheap
         # next to the block matmul.
         n_groups = s_eff
-        for g in ((512, 256, 128) if k_pair > 32 else (128,)):
+        for g in (_deep_select_groups() if k_pair > 32 else (128,)):
             if s_eff % g == 0 and s_eff >= 2 * g:
                 n_groups = g
                 break
