@@ -472,3 +472,39 @@ def test_super_probe_matches_dedup_path(rng):
     assert overlap > 0.8, f"super-probe overlap {overlap}"
     index.scan_super_probe = True
     index.scan_probe_cap = None
+
+
+def test_split_taper_matches_single_launch(rng):
+    """scan_split_taper (the default): an engaged merge taper run as two
+    scans (head at full k_pair, tail at kp_tail) + one final top-k
+    returns the same neighbors as the single-launch tapered merge up to
+    approx-select binning (the bin count tracks each side's k_pair), so
+    the pools must agree almost everywhere and exactly at the top."""
+    index, x, ids = _make_index(rng, d=64, m=8, n_cells=32, n=2600)
+    index.use_smart_probing = False
+    index.use_approx_topk = True
+    index.scan_mode = "cell_major"
+    index.scan_group = 4
+    index.n_probe = 24
+    index.scan_probe_cap = 8
+    index.scan_merge_taper = (2, 8)
+    index.scan_k_pair = 48
+    q = rng.normal(size=(13, 64)).astype(np.float32)
+
+    assert index.scan_split_taper
+    v_split, i_split = index.search(jnp.asarray(q.T), k=48)
+    index.scan_split_taper = False
+    v_one, i_one = index.search(jnp.asarray(q.T), k=48)
+
+    # approx-select binning differs per side, so pools agree almost
+    # everywhere (not bitwise); the top hit must match exactly
+    overlap = np.mean([
+        len(np.intersect1d(a, b)) / 48
+        for a, b in zip(np.asarray(i_split), np.asarray(i_one))])
+    assert overlap > 0.9, f"split-taper overlap {overlap}"
+    np.testing.assert_array_equal(np.asarray(i_split)[:, 0],
+                                  np.asarray(i_one)[:, 0])
+    index.scan_split_taper = True
+    index.scan_merge_taper = None
+    index.scan_probe_cap = None
+    index.scan_k_pair = None

@@ -322,13 +322,14 @@ def _search_flat(q, decoded, norms, is_empty, addr_map, address2id, *,
     jax.jit,
     static_argnames=("k", "n_probe", "use_smart", "precision", "distance",
                      "s_max", "n_cells", "mode", "approx", "impl", "group",
-                     "probe_cap", "k_pair", "merge_taper", "super_probe"))
+                     "probe_cap", "k_pair", "merge_taper", "super_probe",
+                     "split_taper"))
 def _search_full(q, coarse_codebook, decoded, norms, is_empty, cell_start,
                  cell_capacity, address2id, temperature, *, k, n_probe,
                  use_smart, precision, distance, s_max, n_cells, mode,
                  approx, impl="xla", group=1, scales=None, addr_map=None,
                  probe_cap=None, k_pair=None, merge_taper=None,
-                 super_probe=False):
+                 super_probe=False, split_taper=True):
     """The whole query path in one jit: coarse scoring + probing + fused
     scan + id translation. One dispatch per search call — the reference pays
     one kernel launch per stage (IVFPQIndex.py:469-524); here XLA fuses the
@@ -359,13 +360,60 @@ def _search_full(q, coarse_codebook, decoded, norms, is_empty, cell_start,
             cell_capacity, k=k, distance=distance, s_max=s_max, approx=approx,
             precision=precision)
     else:
-        vals, addr = adc.scan_cell_major(
-            q, cells, mask, decoded, norms, is_empty, cell_start,
-            cell_capacity, k=k, distance=distance, s_max=s_max,
-            n_cells=n_cells, approx=approx, impl=impl, group=group,
-            scales=scales, precision=precision,
-            probe_cap=None if use_super else probe_cap,
-            k_pair=k_pair, merge_taper=merge_taper, pre_grouped=use_super)
+        # split-taper: run the rank taper as TWO scans — head probes at
+        # full k_pair, tail probes at kp_tail — then one [nq, 2k] top-k.
+        # The kernel's select-pass count (the in-kernel deep-k cost, ~
+        # k_pair unrolled VPU passes per block) then scales with each
+        # side's width instead of every block paying the head's. Under
+        # an EXACT per-pair select this is identical to the single-launch
+        # taper merge (a side's top-kp_tail is the prefix of its top-
+        # k_pair extraction; global top-k membership implies side top-k
+        # membership); under the approx select the bin count tracks each
+        # side's k_pair, so the two paths are interchangeable
+        # approximations of the same taper (recall recorded per sweep
+        # row, equality pinned at the exact setting in tests).
+        # Requires per-query-DISTINCT probe
+        # entries (supercell-native probing, or group == 1) so no window
+        # is scanned on both sides of the split.
+        np_eff = probe_cap if (probe_cap is not None
+                               and probe_cap < n_probe) else n_probe
+        kp_res = k_pair if k_pair is not None \
+            else (64 if (approx and k > 64) else k)
+        use_split = (split_taper and merge_taper is not None and approx
+                     and (use_super or group == 1)
+                     and min(k, np_eff * kp_res) > 32
+                     and np_eff > merge_taper[0]
+                     and merge_taper[1] < kp_res)
+        if use_split:
+            p0 = merge_taper[0]
+            kp_tail = max(merge_taper[1], util.cdiv(
+                max(min(k, np_eff * kp_res) - p0 * kp_res, 0),
+                max(np_eff - p0, 1)))
+            scan_kw = dict(
+                k=k, distance=distance, s_max=s_max, n_cells=n_cells,
+                approx=approx, impl=impl, group=group, scales=scales,
+                precision=precision, probe_cap=None, merge_taper=None,
+                pre_grouped=use_super)
+            v_h, a_h = adc.scan_cell_major(
+                q, cells[:, :p0], mask[:, :p0], decoded, norms, is_empty,
+                cell_start, cell_capacity, k_pair=kp_res, **scan_kw)
+            v_t, a_t = adc.scan_cell_major(
+                q, cells[:, p0:], mask[:, p0:], decoded, norms, is_empty,
+                cell_start, cell_capacity, k_pair=kp_tail, **scan_kw)
+            both_v = jnp.concatenate([v_h, v_t], axis=1)
+            both_a = jnp.concatenate([a_h, a_t], axis=1)
+            vals, sel = jax.lax.top_k(both_v, k)
+            addr = jnp.take_along_axis(both_a, sel, axis=1)
+            adc.LAST_GATE["split"] = (p0, kp_tail)  # trace-time record
+        else:
+            vals, addr = adc.scan_cell_major(
+                q, cells, mask, decoded, norms, is_empty, cell_start,
+                cell_capacity, k=k, distance=distance, s_max=s_max,
+                n_cells=n_cells, approx=approx, impl=impl, group=group,
+                scales=scales, precision=precision,
+                probe_cap=None if use_super else probe_cap,
+                k_pair=k_pair, merge_taper=merge_taper,
+                pre_grouped=use_super)
     if addr_map is not None:
         # scanning the compacted layout: translate back to storage addresses
         addr = jnp.where(addr >= 0, addr_map[jnp.maximum(addr, 0)], -1)
@@ -483,6 +531,12 @@ class IVFPQIndex(CellContainer):
         # three sorts cheaper (_coarse_probe_super). Opt-out switch for
         # A/B against the cell-level dedup path.
         self.scan_super_probe = True
+        # split-taper (on by default): run an engaged merge taper as two
+        # scans (head pairs at full k_pair, tail at kp_tail) + one
+        # [nq, 2k] top-k — bit-identical results, but the kernel's
+        # per-block select passes shrink to each side's width
+        # (_search_full). Opt-out for A/B against the single launch.
+        self.scan_split_taper = True
 
         cache_dtype = scan_cache_dtype or config.SCAN_CACHE_DTYPE
         # scan_cache_dtype="none": keep NO decoded cache — scans read the
@@ -1215,7 +1269,8 @@ class IVFPQIndex(CellContainer):
                 probe_cap=self._resolved_probe_cap(n_probe),
                 k_pair=self.scan_k_pair,
                 merge_taper=self.scan_merge_taper,
-                super_probe=self.scan_super_probe)
+                super_probe=self.scan_super_probe,
+                split_taper=self.scan_split_taper)
             if return_address:
                 return vals, ids, addr
             return vals, ids
@@ -1233,7 +1288,8 @@ class IVFPQIndex(CellContainer):
             probe_cap=self._resolved_probe_cap(n_probe),
             k_pair=self.scan_k_pair,
             merge_taper=self.scan_merge_taper,
-            super_probe=self.scan_super_probe)
+            super_probe=self.scan_super_probe,
+            split_taper=self.scan_split_taper)
         if return_address:
             return vals, ids, addr
         return vals, ids
